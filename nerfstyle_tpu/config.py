@@ -1,0 +1,527 @@
+"""Layered YAML + dataclass + argparse configuration engine.
+
+Rebuild of the reference config system (``/root/reference/config.py:22-449``)
+with identical layering semantics and flag spellings, so the documented CLI
+workflows keep working:
+
+    dataclass defaults <- default_path YAML <- task YAML <- CLI flags
+
+Differences from the reference implementation: strict dict->dataclass
+validation is implemented directly (the reference leans on the ``dacite``
+package, config.py:89-109 — not available here), and docstring help extraction
+uses a simple source scan instead of ``simple_parsing``.  Behavior is the same:
+unknown YAML/CLI keys are hard errors; unconsumed CLI args chain through the
+config group sequence and must end empty (trainers/base.py:99-111).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import inspect
+import re
+import typing
+from dataclasses import dataclass, field
+from enum import Enum
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple, Type, TypeVar
+
+import yaml
+
+T = TypeVar("T", bound="Config")
+
+# Sentinel for a flag passed with no argument (reference ConfigValue.EmptyPassed,
+# config.py:22-23).
+class ConfigValue(Enum):
+    EmptyPassed = "__empty__"
+
+
+def flatten(d: Dict[str, Any], delim: str = ".") -> Dict[str, Any]:
+    items: Dict[str, Any] = {}
+    for k, v in d.items():
+        if isinstance(v, dict):
+            for sk, sv in flatten(v, delim).items():
+                items[k + delim + sk] = sv
+        else:
+            items[k] = v
+    return items
+
+
+def unflatten(d: Dict[str, Any], delim: str = ".") -> Dict[str, Any]:
+    items: Dict[str, Any] = {}
+    for k, v in d.items():
+        parts = k.split(delim)
+        cur = items
+        for p in parts[:-1]:
+            cur = cur.setdefault(p, {})
+        cur[parts[-1]] = v
+    return items
+
+
+def _is_optional(tp) -> bool:
+    return typing.get_origin(tp) is typing.Union and type(None) in typing.get_args(tp)
+
+
+def _strip_optional(tp):
+    if _is_optional(tp):
+        args = [a for a in typing.get_args(tp) if a is not type(None)]
+        return args[0]
+    return tp
+
+
+def _convert(value: Any, tp, key: str) -> Any:
+    """Strictly convert a raw YAML/CLI value to the annotated field type."""
+    if value is None:
+        return None
+    if value is ConfigValue.EmptyPassed:
+        return value
+    tp = _strip_optional(tp)
+    origin = typing.get_origin(tp)
+    if dataclasses.is_dataclass(tp):
+        if not isinstance(value, dict):
+            raise ConfigError(f'field "{key}" expects a mapping, got {value!r}')
+        return _from_dict(tp, value, prefix=key + ".")
+    if tp is Path:
+        return Path(str(value)).expanduser()
+    if tp is bool:
+        if isinstance(value, bool):
+            return value
+        raise ConfigError(f'field "{key}" expects a bool, got {value!r}')
+    if tp is int:
+        if isinstance(value, bool) or not isinstance(value, (int, float)):
+            raise ConfigError(f'field "{key}" expects an int, got {value!r}')
+        return int(value)
+    if tp is float:
+        if not isinstance(value, (int, float)):
+            raise ConfigError(f'field "{key}" expects a number, got {value!r}')
+        return float(value)
+    if tp is str:
+        return str(value)
+    if origin in (list, tuple):
+        (elem_tp,) = typing.get_args(tp)[:1] or (str,)
+        seq = [
+            _convert(v, elem_tp, f"{key}[{i}]")
+            for i, v in enumerate(value)
+        ]
+        return tuple(seq) if origin is tuple else seq
+    if isinstance(tp, type) and issubclass(tp, Enum):
+        if isinstance(value, tp):
+            return value
+        return tp[str(value).upper()]
+    return value
+
+
+class ConfigError(ValueError):
+    pass
+
+
+def _from_dict(cls, data: Dict[str, Any], prefix: str = ""):
+    """Strict dict -> dataclass (replacement for dacite strict mode,
+    config.py:89-109): unknown keys raise, missing required fields raise."""
+    field_map = {f.name: f for f in dataclasses.fields(cls)}
+    unknown = set(data) - set(field_map)
+    if unknown:
+        raise ConfigError(
+            f"Unrecognized parameters while parsing {cls.__name__}: "
+            + ", ".join(sorted(prefix + u for u in unknown))
+        )
+    kwargs = {}
+    for name, f in field_map.items():
+        if name in data:
+            kwargs[name] = _convert(data[name], f.type_resolved(cls) if hasattr(f, "type_resolved") else _resolve_type(cls, f), prefix + name)
+        elif f.default is dataclasses.MISSING and f.default_factory is dataclasses.MISSING:
+            raise ConfigError(f'missing required config field "{prefix}{name}" for {cls.__name__}')
+    return cls(**kwargs)
+
+
+def _resolve_type(cls, f: dataclasses.Field):
+    hints = typing.get_type_hints(cls)
+    return hints.get(f.name, f.type)
+
+
+@dataclass
+class Config:
+    """Base class providing the load/parse machinery (config.py:85-219)."""
+
+    default_path: typing.ClassVar[Optional[str]] = None
+    print_col_width: typing.ClassVar[int] = 30
+
+    # -- docstring help extraction ------------------------------------------------
+    @classmethod
+    def _field_docs(cls) -> Dict[str, str]:
+        """Map field name -> the triple-quoted docstring below its declaration."""
+        docs: Dict[str, str] = {}
+        try:
+            src = inspect.getsource(cls)
+        except (OSError, TypeError):
+            return docs
+        pattern = re.compile(
+            r"^\s*(\w+)\s*:[^\n=]+(?:=[^\n]+)?\n\s*(?:\"\"\"|''')(.*?)(?:\"\"\"|''')",
+            re.S | re.M,
+        )
+        for name, doc in pattern.findall(src):
+            docs[name] = " ".join(doc.split())
+        return docs
+
+    # -- parsing entry points -----------------------------------------------------
+    @classmethod
+    def read_nargs(cls: Type[T]) -> Tuple[T, List[str]]:
+        """Parse this config directly from argv (config.py:111-119)."""
+        parser = cls.create_parser()
+        args, nargs = parser.parse_known_args()
+        obj = _from_dict(cls, {k: v for k, v in vars(args).items() if v is not None})
+        return obj, nargs
+
+    @classmethod
+    def load_nargs(
+        cls: Type[T],
+        config_path: Optional[Path] = None,
+        nargs: List[str] = (),
+    ) -> Tuple[T, List[str]]:
+        """Layered load: default YAML <- config_path YAML <- leftover CLI args
+        (config.py:121-149)."""
+        nargs = list(nargs)
+        assert cls.default_path is not None or config_path is not None, (
+            "No default path to use, provide a specific config path"
+        )
+
+        cfg_dict: Dict[str, Any] = {}
+        if cls.default_path is not None:
+            with open(cls.default_path, "r") as f:
+                cfg_dict = yaml.safe_load(f) or {}
+        if config_path is not None:
+            with open(config_path, "r") as f:
+                cfg_dict.update(yaml.safe_load(f) or {})
+
+        if nargs:
+            parser = cls.create_parser(flatten(cfg_dict))
+            args, nargs = parser.parse_known_args(nargs)
+            cfg_dict = unflatten({k: v for k, v in vars(args).items()})
+
+        obj = _from_dict(cls, cfg_dict)
+        return obj, nargs
+
+    @classmethod
+    def load(cls: Type[T], config_path: Optional[Path] = None) -> T:
+        obj, _ = cls.load_nargs(config_path)
+        return obj
+
+    # -- parser construction ------------------------------------------------------
+    @classmethod
+    def create_parser(
+        cls, loaded_values: Optional[Dict[str, Any]] = None
+    ) -> argparse.ArgumentParser:
+        """Auto-generate flags for every (nested) field; booleans become toggle
+        actions against the loaded default; enums become lowercase choices
+        (config.py:159-214)."""
+
+        def argnames(k: str) -> List[str]:
+            names = ["--" + k]
+            if "_" in k:
+                names.append("--" + k.replace("_", "-"))
+            return names
+
+        parser = argparse.ArgumentParser(add_help=False, allow_abbrev=False)
+
+        def add_fields(c, prefix: str):
+            docs = c._field_docs() if hasattr(c, "_field_docs") else {}
+            for f in dataclasses.fields(c):
+                if f.name in ("default_path", "print_col_width"):
+                    continue
+                tp = _strip_optional(_resolve_type(c, f))
+                key = prefix + f.name
+                if dataclasses.is_dataclass(tp):
+                    add_fields(tp, key + ".")
+                    continue
+                docstr = docs.get(f.name, "")
+                default = None
+                if loaded_values is not None and key in loaded_values:
+                    default = loaded_values[key]
+                elif f.default is not dataclasses.MISSING:
+                    default = f.default
+                elif f.default_factory is not dataclasses.MISSING:  # type: ignore
+                    default = f.default_factory()  # type: ignore
+
+                if default is None:
+                    base = str if tp in (Path,) or isinstance(tp, type) and issubclass(tp, Enum) else tp
+                    if typing.get_origin(tp) in (list, tuple):
+                        base = str
+                    parser.add_argument(
+                        *argnames(key), type=base, nargs="?", default=None,
+                        const=ConfigValue.EmptyPassed, help=docstr, dest=key,
+                    )
+                elif isinstance(default, bool):
+                    action = "store_false" if default else "store_true"
+                    parser.add_argument(*argnames(key), action=action, default=default,
+                                        help=docstr, dest=key)
+                elif isinstance(default, Enum):
+                    choices = [n.lower() for n in type(default).__members__]
+                    parser.add_argument(*argnames(key), choices=choices,
+                                        default=default.name.lower(), help=docstr, dest=key)
+                elif isinstance(default, (list, tuple)):
+                    parser.add_argument(*argnames(key), type=type(default[0]) if default else str,
+                                        nargs="*", default=list(default), help=docstr, dest=key)
+                else:
+                    parser.add_argument(*argnames(key), type=type(default), default=default,
+                                        help=docstr, dest=key)
+
+        add_fields(cls, "")
+        return parser
+
+    def asdict(self) -> Dict[str, Any]:
+        def enc(v):
+            if isinstance(v, Path):
+                return str(v)
+            if isinstance(v, Enum):
+                return v.name
+            if isinstance(v, tuple):
+                return list(v)
+            return v
+
+        return {
+            k: enc(v)
+            for k, v in dataclasses.asdict(self).items()
+        }
+
+    def print(self):
+        for k, v in flatten(dataclasses.asdict(self)).items():
+            print("{: <{w}}| {}".format(k, str(v), w=self.print_col_width))
+
+
+# ---------------------------------------------------------------------------
+# Concrete schemas — field names/defaults mirror config.py:222-449 and the
+# cfgs/**.yaml defaults exactly, so reference YAML files and CLI invocations
+# parse unchanged.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class BaseConfig(Config):
+    log_dir: Optional[Path] = None
+    """Path to log folder."""
+
+    data_cfg: Optional[Path] = None
+    """Path of dataset configuration file."""
+
+    ckpt: Optional[Path] = None
+    """Path of checkpoint to load from."""
+
+    style_image: Optional[Path] = None
+    """If provided, model will perform style transfer on this image."""
+
+
+@dataclass
+class ReplicaConfig(Config):
+    name: str = ""
+    """Name of scene."""
+
+    focal_ratio: float = 1.0
+    """Set focal length to frame side length times this value."""
+
+    traj_ids: List[int] = field(default_factory=list)
+    """Trajectory ids that belong to this scene."""
+
+    black2white: bool = False
+    """Convert black (0, 0, 0) pixels into white."""
+
+
+@dataclass
+class DatasetConfig(Config):
+    root_path: Path = Path(".")
+    """Root path of dataset."""
+
+    type: str = "LLFF"
+    """Type of dataset."""
+
+    bound: float = 1.0
+    """Radius of bounding box for sampling. Should contain entire scene."""
+
+    scale: float = 1.0
+    """Scale all poses (w.r.t origin) by a factor."""
+
+    ct_image: Optional[Path] = None
+    """Perform color transform to this style image."""
+
+    seg_name: str = "seg"
+    """Directory for segmentation maps."""
+
+    replica_cfg: Optional[ReplicaConfig] = None
+    """Additional config settings for Replica dataset."""
+
+    default_path = "cfgs/dataset/default.yaml"
+
+
+@dataclass
+class HashGridConfig(Config):
+    n_lvls: int = 16
+    """No. of levels."""
+
+    n_feats_per_lvl: int = 2
+    """No. of feature dimensions per level."""
+
+    hashmap_size: int = 19
+    """Log2 base of hash table size of each level."""
+
+    min_res: int = 16
+    """Resolution for coarsest level."""
+
+    max_res_coeff: float = 1024
+    """Maximum resolution coefficient. Multiply with bounding box diameter to
+    obtain resolution for finest level."""
+
+
+@dataclass
+class NetworkConfig(Config):
+    network_seed: Optional[int] = 80000
+    """Separate RNG seed for initializing networks."""
+
+    density_out_dims: int = 16
+    """No. of dimensions for density network output."""
+
+    density_hidden_dims: int = 64
+    """No. of dimensions for density network hidden layers."""
+
+    density_hidden_layers: int = 1
+    """No. of hidden layers for density network."""
+
+    rgb_hidden_dims: int = 64
+    """No. of dimensions for RGB network hidden layers."""
+
+    rgb_hidden_layers: int = 2
+    """No. of hidden layers for RGB network."""
+
+    pos_enc: HashGridConfig = field(default_factory=HashGridConfig)
+    """Config settings for positional encoding."""
+
+    dir_enc_sh_deg: int = 4
+    """No. of basis degrees for SH encoding of view direction."""
+
+    default_path = "cfgs/network/default.yaml"
+
+
+@dataclass
+class RendererConfig(Config):
+    grid_size: int = 128
+    """Side length of occupancy grid."""
+
+    grid_bsize: Optional[int] = None
+    """Side length of subgrid for batching. Default is same as grid_size."""
+
+    update_iter: int = 16
+    """No. of training iterations before updating occupancy grid once."""
+
+    min_near: float = 0.2
+    """Minimum distance for near point."""
+
+    t_thresh: float = 1e-4
+    """Transmittance threshold during ray accumulation."""
+
+    use_ndc: bool = False
+    """Use NDC for rendering."""
+
+    flip_camera: int = 0
+    """Bitwise value (0-7) for flipping X/Y/Z axes of camera frame."""
+
+    max_steps: int = 1024
+    """Maximum no. of sampled points along each ray."""
+
+    update_thres: int = 256
+    """No. of initial steps for sampling all grid cells."""
+
+    density_scale: float = 1.0
+    """Scaling factor for density value."""
+
+    density_thresh: float = 10.0
+    """Threshold value for determining occupancy."""
+
+    density_decay: float = 0.95
+    """Multiply densities by this value for each update."""
+
+    max_samples_per_ray: int = 256
+    """TPU compaction budget cap: largest per-ray average sample capacity."""
+
+    default_path = "cfgs/renderer/default.yaml"
+
+
+@dataclass
+class TrainIntervalConfig(Config):
+    print: int = 100
+    log: int = 100
+    ckpt: int = 5000
+    test: int = 1000
+
+
+@dataclass
+class TrainConfig(Config):
+    num_rays_per_batch: int = 4096
+    """No. of rays to sample for each training iteration."""
+
+    defer_patch_size: int = 200
+    """Patch side length during deferred backpropagation for full-image losses."""
+
+    precrop_iterations: int = 0
+    """Perform cropping for this number of iterations."""
+
+    precrop_fraction: float = 0.5
+    """Ratio for pre-cropping."""
+
+    initial_learning_rate: float = 0.01
+    """Initial learning rate."""
+
+    learning_rate_decay: int = 30000
+    """No. of iterations when learning rate drops to 10% of initial value.
+    Set to zero to use constant rate."""
+
+    max_eval_count: Optional[int] = 20
+    """During evaluation, only render N frames, evenly spaced over the test set."""
+
+    num_iterations: int = 15000
+    """No. of total iterations for training."""
+
+    test_before_train: bool = False
+    """Render the test images once before the first iteration."""
+
+    intervals: TrainIntervalConfig = field(default_factory=TrainIntervalConfig)
+    """Intervals to be used during training."""
+
+    rng_seed: int = 69420
+    """Seed for randomized number generators."""
+
+    enable_amp: bool = True
+    """Enable mixed precision (bf16 on TPU; replaces the reference's fp16 AMP +
+    GradScaler — bf16 needs no loss scaling)."""
+
+    ema_decay: Optional[float] = 0.95
+    """EMA decay rate. Leave blank if not using EMA."""
+
+    sparsity_lambda: float = 0.0
+    """Sparsity loss multiplier."""
+
+    sparsity_exp_coeff: float = 0.05
+    """Exponential coefficient in sparsity loss computation."""
+
+    sparsity_samples: int = 50000
+    """No. of point samples per iteration for calculating sparsity loss."""
+
+    weight_reg_lambda: float = 0.0
+    """Weight regularization multiplier."""
+
+    class_lambda: float = 0.001
+    """Classification loss multiplier."""
+
+    content_lambda: float = 0.025
+    """Content loss multiplier."""
+
+    style_lambda: float = 0.1
+    """Style loss multiplier."""
+
+    photo_lambda: float = 0.0001
+    """Photorealistic loss multiplier."""
+
+    style_seg_path: Optional[Path] = None
+    """Style image segment groups."""
+
+    style_matching: Optional[str] = None
+    """User-supplied style matching."""
+
+    default_path = "cfgs/training/default.yaml"

@@ -1,0 +1,177 @@
+"""Procedural synthetic scene dataset.
+
+New in the TPU framework (the reference has no test data generator — its
+datasets require external downloads, docs/llff_dataset.md).  Provides a
+self-contained Lambertian sphere scene with per-sphere segmentation classes so
+that:
+
+  * end-to-end training smoke tests can verify PSNR actually improves,
+  * the class head and style stage have real segment labels,
+  * benchmarks run without any dataset downloads.
+
+The scene: K colored spheres inside the bound, rendered by direct ray tracing
+(host-side numpy, cached to disk), cameras on a circle looking at the origin.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from ..config import DatasetConfig
+from ..core.types import BBox, DatasetSplit, Intrinsics
+from .base import BaseDataset
+
+_SPHERES = np.array(
+    [
+        # cx, cy, cz, radius
+        [0.0, 0.0, 0.0, 0.45],
+        [0.7, 0.3, -0.2, 0.3],
+        [-0.6, -0.4, 0.3, 0.35],
+    ],
+    dtype=np.float32,
+)
+_COLORS = np.array(
+    [[0.9, 0.2, 0.2], [0.2, 0.8, 0.3], [0.25, 0.35, 0.9]], dtype=np.float32
+)
+_LIGHT = np.array([0.5, -0.7, 0.6], dtype=np.float32)
+
+
+def _look_at(eye: np.ndarray) -> np.ndarray:
+    """c2w pose with camera at ``eye`` looking at origin; camera frame is
+    X-right, Y-down, Z-forward (flip_camera=0 convention)."""
+    fwd = -eye / np.linalg.norm(eye)
+    world_up = np.array([0.0, 0.0, 1.0], dtype=np.float32)
+    right = np.cross(fwd, world_up)
+    right /= np.linalg.norm(right)
+    down = np.cross(fwd, right)
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 0], pose[:3, 1], pose[:3, 2], pose[:3, 3] = right, down, fwd, eye
+    return pose
+
+
+def _trace(origin: np.ndarray, dirs: np.ndarray):
+    """Ray-trace the sphere scene: returns (rgb [N, 3], seg [N])."""
+    n = dirs.shape[0]
+    rgb = np.ones((n, 3), np.float32)  # white background
+    seg = np.zeros(n, np.float32)  # class 0 = background
+    best_t = np.full(n, np.inf, np.float32)
+    light = _LIGHT / np.linalg.norm(_LIGHT)
+    for i, (sph, color) in enumerate(zip(_SPHERES, _COLORS)):
+        oc = origin[None] - sph[:3]
+        b = np.sum(dirs * oc, axis=-1)
+        c = np.sum(oc * oc, axis=-1) - sph[3] ** 2
+        disc = b * b - c
+        hit = disc > 0
+        t = -b - np.sqrt(np.where(hit, disc, 0.0))
+        hit &= (t > 1e-3) & (t < best_t)
+        pt = origin[None] + t[:, None] * dirs
+        normal = (pt - sph[:3]) / sph[3]
+        lam = np.clip(np.sum(normal * light, axis=-1), 0.0, 1.0)
+        shade = (0.35 + 0.65 * lam)[:, None] * color[None]
+        rgb[hit] = shade[hit]
+        seg[hit] = i + 1
+        best_t[hit] = t[hit]
+    return rgb, seg
+
+
+def generate_scene(
+    root: Path,
+    num_train: int = 24,
+    num_test: int = 6,
+    h: int = 96,
+    w: int = 128,
+    cam_radius: float = 2.8,
+) -> None:
+    """Render and cache the scene to ``root`` (idempotent)."""
+    root = Path(root)
+    if (root / "meta.npz").exists():
+        return
+    root.mkdir(parents=True, exist_ok=True)
+
+    fx = fy = 0.9 * w
+    cx, cy = w / 2.0, h / 2.0
+    xs = (np.arange(w, dtype=np.float32) + 0.5 - cx) / fx
+    ys = (np.arange(h, dtype=np.float32) + 0.5 - cy) / fy
+    gx, gy = np.meshgrid(xs, ys)
+    cam_dirs = np.stack([gx, gy, np.ones_like(gx)], axis=-1).reshape(-1, 3)
+
+    def render_split(count: int, phase: float):
+        poses, images, segs = [], [], []
+        for i in range(count):
+            theta = 2 * np.pi * i / count + phase
+            eye = np.array(
+                [cam_radius * np.cos(theta), cam_radius * np.sin(theta),
+                 0.9 + 0.35 * np.sin(3 * theta)],
+                dtype=np.float32,
+            )
+            pose = _look_at(eye)
+            world_dirs = cam_dirs @ pose[:3, :3].T
+            norm_dirs = world_dirs / np.linalg.norm(world_dirs, axis=-1, keepdims=True)
+            rgb, seg = _trace(pose[:3, 3], norm_dirs)
+            poses.append(pose)
+            images.append(rgb.reshape(h, w, 3))
+            segs.append(seg.reshape(h, w))
+        return np.stack(poses), np.stack(images), np.stack(segs)
+
+    tr_poses, tr_images, tr_segs = render_split(num_train, 0.0)
+    te_poses, te_images, te_segs = render_split(num_test, 0.13)
+
+    np.savez_compressed(
+        root / "meta.npz",
+        h=h, w=w, fx=fx, fy=fy, cx=cx, cy=cy,
+        train_poses=tr_poses, test_poses=te_poses,
+    )
+    np.savez_compressed(root / "train_images.npz", images=tr_images, segs=tr_segs)
+    np.savez_compressed(root / "test_images.npz", images=te_images, segs=te_segs)
+
+
+class SyntheticDataset(BaseDataset):
+    """Array-backed dataset; bypasses the path-based template of BaseDataset
+    but provides the identical interface."""
+
+    def __init__(
+        self,
+        cfg: DatasetConfig,
+        split: DatasetSplit,
+        max_count: Optional[int] = None,
+    ):
+        # Deliberately NOT calling BaseDataset.__init__ (it is path-oriented);
+        # the public attribute contract is satisfied directly.
+        self.cfg = cfg
+        self.split = split
+        self.max_count = max_count
+
+        root = Path(cfg.root_path)
+        generate_scene(root)
+        meta = np.load(root / "meta.npz")
+        split_name = "train" if split == DatasetSplit.TRAIN else "test"
+        data = np.load(root / f"{split_name}_images.npz")
+
+        self.poses = meta[f"{split_name}_poses"].astype(np.float32)
+        self.poses[:, :3, 3] *= cfg.scale
+        self.images = np.moveaxis(data["images"].astype(np.float32), -1, 1)
+        self.has_gt = True
+        self.fns = [f"frame_{i:03d}" for i in range(len(self.poses))]
+
+        self.seg_groups, self.num_classes = None, 0
+        if split == DatasetSplit.TRAIN:
+            self.seg_groups = data["segs"].astype(np.float32)
+            self.num_classes = len(np.unique(self.seg_groups))
+
+        if max_count is not None and max_count < len(self.poses):
+            ids = np.round(np.linspace(0, len(self.poses), max_count + 1)[:-1]).astype(int)
+            self.fns = [self.fns[i] for i in ids]
+            self.poses = self.poses[ids]
+            self.images = self.images[ids]
+            if self.seg_groups is not None:
+                self.seg_groups = self.seg_groups[ids]
+
+        self.intr = Intrinsics(
+            h=int(meta["h"]), w=int(meta["w"]),
+            fx=float(meta["fx"]), fy=float(meta["fy"]),
+            cx=float(meta["cx"]), cy=float(meta["cy"]),
+        )
+        self.bbox = BBox.from_radius(cfg.bound)

@@ -1,0 +1,222 @@
+"""Neural field models (hash-grid NeRFs) as functional param pytrees.
+
+TPU-native rebuild of the reference models:
+
+  * ``StyleNerfField``  <- ``StyleTCNerf`` (/root/reference/networks/style_nerf.py:12-159)
+    — the model the reference actually trains: two separate hash grids (density
+    vs color) so the stylization stage can optimize color only, plus four
+    64-wide MLP heads (density / color1 / color2 / class).
+  * ``NerfField``       <- ``TCNerf`` (/root/reference/networks/tcnn_nerf.py:72-139)
+    — the classic instant-ngp variant (kept for parity; unused by the main path).
+
+Design: params are plain nested dicts (pytrees); ``field_apply`` is a pure
+function, so it jits, vmaps, shards and differentiates without any module
+machinery.  Top-level param keys exactly mirror the reference module names
+(``x_density_embedder``, ``x_color_embedder``, ``*_net``), so the trainer's
+keyword-based optimizer filtering (trainers/base.py:185-199, OPTIM_KEYS) works
+identically.
+
+Domain note: the reference normalizes points to [0, 1] via BBox.normalize
+(style_nerf.py:121) and then GridEncoder.forward *additionally* maps
+``(x + bound) / (2 * bound)`` with bound=1 (gridencoder/grid.py:177), so the
+encoder effectively sees [0.5, 1]^3.  Replicated verbatim for parity.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.types import BBox
+from ..ops.hashgrid import HashGridSpec, hashgrid_encode, hashgrid_init, hashgrid_spec
+from ..ops.mlp import mlp_apply, mlp_init, trunc_exp
+from ..ops.sh import sh_encode
+
+Params = Dict[str, object]
+
+
+@dataclass(frozen=True)
+class FieldSpec:
+    """Static model architecture (from NetworkConfig; config.py:280-324)."""
+
+    grid: HashGridSpec
+    class_dim: int = 0
+    use_dir: bool = False
+    sh_degree: int = 4
+    density_hidden_dims: int = 64
+    density_hidden_layers: int = 1
+    density_out_dims: int = 16  # NerfField only
+    rgb_hidden_dims: int = 64
+    rgb_hidden_layers: int = 2
+    kind: str = "style"  # "style" (StyleTCNerf) | "base" (TCNerf)
+
+    @property
+    def out_channels(self) -> int:
+        return 3 + self.class_dim if self.kind == "style" else 3
+
+
+def make_grid_spec(
+    n_lvls: int,
+    n_feats_per_lvl: int,
+    hashmap_size: int,
+    min_res: int,
+    max_res_coeff: float,
+    max_bound: float,
+) -> HashGridSpec:
+    """Grid spec from NetworkConfig.pos_enc + scene bound
+    (reference get_grid_encoder, networks/tcnn_nerf.py:14-35)."""
+    import numpy as np
+
+    max_res = max_res_coeff * max_bound
+    per_lvl_scale = float(np.exp2(np.log2(max_res / min_res) / (n_lvls - 1)))
+    return hashgrid_spec(
+        num_levels=n_lvls,
+        level_dim=n_feats_per_lvl,
+        base_resolution=min_res,
+        per_level_scale=per_lvl_scale,
+        log2_hashmap_size=hashmap_size,
+    )
+
+
+def style_field_spec(
+    grid: HashGridSpec,
+    class_dim: int,
+    use_dir: bool = False,
+    sh_degree: int = 4,
+    density_hidden_dims: int = 64,
+    density_hidden_layers: int = 1,
+    rgb_hidden_dims: int = 64,
+    rgb_hidden_layers: int = 2,
+) -> FieldSpec:
+    return FieldSpec(
+        grid=grid,
+        class_dim=class_dim,
+        use_dir=use_dir,
+        sh_degree=sh_degree,
+        density_hidden_dims=density_hidden_dims,
+        density_hidden_layers=density_hidden_layers,
+        rgb_hidden_dims=rgb_hidden_dims,
+        rgb_hidden_layers=rgb_hidden_layers,
+        kind="style",
+    )
+
+
+def field_init(key: jax.Array, spec: FieldSpec) -> Params:
+    """Initialize all parameters (seeded by NetworkConfig.network_seed)."""
+    enc_dim = spec.grid.output_dim
+    sh_dim = spec.sh_degree**2 if spec.use_dir else 0
+    keys = jax.random.split(key, 8)
+
+    if spec.kind == "style":
+        # StyleTCNerf (style_nerf.py:29-98)
+        return {
+            "x_density_embedder": hashgrid_init(keys[0], spec.grid),
+            "x_color_embedder": hashgrid_init(keys[1], spec.grid),
+            "density_net": mlp_init(
+                keys[2], enc_dim, spec.density_hidden_dims, spec.density_hidden_layers, 1
+            ),
+            "color1_net": mlp_init(
+                keys[3], enc_dim, spec.density_hidden_dims, spec.density_hidden_layers, 16
+            ),
+            "color2_net": mlp_init(
+                keys[4], 16 + sh_dim, spec.rgb_hidden_dims, spec.rgb_hidden_layers, 3
+            ),
+            "class_net": mlp_init(
+                keys[5], enc_dim, spec.density_hidden_dims, spec.density_hidden_layers,
+                spec.class_dim,
+            ),
+        }
+    # TCNerf (tcnn_nerf.py:85-122)
+    return {
+        "x_embedder": hashgrid_init(keys[0], spec.grid),
+        "density_net": mlp_init(
+            keys[2], enc_dim, spec.density_hidden_dims, spec.density_hidden_layers,
+            spec.density_out_dims,
+        ),
+        "rgb_net": mlp_init(
+            keys[3],
+            spec.density_out_dims - 1 + spec.sh_degree**2,
+            spec.rgb_hidden_dims,
+            spec.rgb_hidden_layers,
+            3,
+        ),
+    }
+
+
+def _encoder_input(bbox: BBox, pts: jnp.ndarray) -> jnp.ndarray:
+    """bbox-normalize to [0,1] then apply the reference's (x+1)/2 quirk."""
+    pts_n = bbox.normalize(pts)
+    return (pts_n + 1.0) / 2.0
+
+
+def field_density(
+    spec: FieldSpec,
+    params: Params,
+    bbox: BBox,
+    pts: jnp.ndarray,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Density-only forward: [M, 3] -> [M] sigmas (style_nerf.py:120-127)."""
+    x = _encoder_input(bbox, pts)
+    emb_key = "x_density_embedder" if spec.kind == "style" else "x_embedder"
+    h = hashgrid_encode(spec.grid, params[emb_key], x)
+    out = mlp_apply(params["density_net"], h, compute_dtype=compute_dtype)
+    return trunc_exp(out[:, 0])
+
+
+def field_apply(
+    spec: FieldSpec,
+    params: Params,
+    bbox: BBox,
+    pts: jnp.ndarray,
+    dirs: Optional[jnp.ndarray] = None,
+    compute_dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full forward: [M, 3] pts (+ [M, 3] dirs) ->
+    (channels [M, 3+class_dim], sigmas [M]).
+
+    StyleTCNerf semantics (style_nerf.py:120-142): channels =
+    concat(sigmoid rgb, raw class logits).
+    """
+    x = _encoder_input(bbox, pts)
+
+    if spec.kind == "style":
+        h_density = hashgrid_encode(spec.grid, params["x_density_embedder"], x)
+        sigma_out = mlp_apply(params["density_net"], h_density, compute_dtype=compute_dtype)
+        sigmas = trunc_exp(sigma_out[:, 0])
+        if dirs is None:
+            return sigmas
+
+        h_color = hashgrid_encode(spec.grid, params["x_color_embedder"], x)
+        classes = mlp_apply(params["class_net"], h_color, compute_dtype=compute_dtype)
+        color1 = mlp_apply(params["color1_net"], h_color, compute_dtype=compute_dtype)
+
+        if spec.use_dir:
+            d01 = (dirs + 1.0) / 2.0
+            d_emb = sh_encode(d01, spec.sh_degree)
+            rgb_in = jnp.concatenate([color1, d_emb], axis=-1)
+        else:
+            rgb_in = color1
+
+        rgbs = mlp_apply(
+            params["color2_net"], rgb_in, output_activation="sigmoid",
+            compute_dtype=compute_dtype,
+        )
+        return jnp.concatenate([rgbs, classes], axis=-1), sigmas
+
+    # TCNerf (tcnn_nerf.py:126-139)
+    h = hashgrid_encode(spec.grid, params["x_embedder"], x)
+    density_out = mlp_apply(params["density_net"], h, compute_dtype=compute_dtype)
+    sigmas = trunc_exp(density_out[:, 0])
+    if dirs is None:
+        return sigmas
+    d01 = (dirs + 1.0) / 2.0
+    d_emb = sh_encode(d01, spec.sh_degree)
+    rgb_in = jnp.concatenate([density_out[:, 1:], d_emb], axis=-1)
+    rgbs = mlp_apply(
+        params["rgb_net"], rgb_in, output_activation="sigmoid", compute_dtype=compute_dtype
+    )
+    return rgbs, sigmas

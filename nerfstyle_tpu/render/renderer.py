@@ -1,0 +1,355 @@
+"""Volume-rendering orchestration.
+
+TPU-native rebuild of the reference ``Renderer``
+(``/root/reference/renderer.py:19-313``): owns the cascaded occupancy grid,
+maintains it during training, and drives march -> field -> composite.
+
+Architectural differences (deliberate, TPU-first):
+
+  * One pure, jit-differentiable :func:`render_rays` serves both training and
+    inference.  The reference needs two CUDA paths (compacted train kernels vs
+    an in-place alive-ray inference loop, renderer.py:196-293) because of
+    dynamic shapes; our static-budget compaction makes the paths identical —
+    inference simply runs the same function over ray chunks without gradients.
+  * All state is a pytree (:class:`~nerfstyle_tpu.ops.occupancy.OccupancyState`);
+    the ``Renderer`` class is a thin host-side orchestrator holding static
+    config, jit caches, and the state between steps.
+  * The compaction budget M (static for XLA) is picked from a small bucket
+    ladder using the running ``mean_count`` — the same estimator the reference
+    uses to size its point buffer (raymarching.py:230-236) — so at most a
+    handful of compiled variants exist.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.cameras import generate_rays
+from ..core.types import BBox, Box2D, Intrinsics, RayBundle
+from ..models.fields import FieldSpec, Params, field_apply, field_density
+from ..ops.aabb import near_far_from_aabb
+from ..ops.compositing import composite_rays
+from ..ops.marching import MarchPlan, march_rays
+from ..ops.occupancy import (
+    OccupancyState,
+    occupancy_init,
+    occupancy_update_full,
+    occupancy_update_random,
+    update_mean_count,
+)
+
+
+@dataclass(frozen=True)
+class RenderSettings:
+    """Static render configuration (mirrors RendererConfig, config.py:327-366)."""
+
+    grid_size: int = 128
+    update_iter: int = 16
+    min_near: float = 0.2
+    t_thresh: float = 1e-4
+    use_ndc: bool = False
+    flip_camera: int = 0
+    max_steps: int = 1024
+    update_thres: int = 256
+    density_scale: float = 1.0
+    density_thresh: float = 10.0
+    density_decay: float = 0.95
+    grid_bsize: Optional[int] = None
+    # TPU-specific: per-ray average sample capacity of the largest compaction
+    # bucket; caps worst-case memory (see budget_for).
+    max_samples_per_ray: int = 256
+
+
+def cascade_for_bound(bound: float) -> int:
+    """1 + ceil(log2(bound)) cascades (renderer.py:61)."""
+    return 1 + max(0, math.ceil(math.log2(bound)))
+
+
+# Compaction bucket ladder (samples per ray); static jit shapes.
+_BUDGET_BUCKETS = (4, 8, 16, 32, 64, 128, 256)
+
+
+def budget_for(num_rays: int, mean_count: int, max_steps: int, max_per_ray: int) -> int:
+    """Pick the static compaction budget M from the running point-count mean.
+
+    Mirrors the reference's mean_count buffer sizing with 1.5x headroom
+    (raymarching.py:233-236); snapped to a bucket ladder to bound the number of
+    compiled variants.
+    """
+    want = max(1, int(mean_count * 1.5)) if mean_count > 0 else num_rays * max_per_ray
+    per_ray = (want + num_rays - 1) // num_rays
+    for b in _BUDGET_BUCKETS:
+        if b >= per_ray and b <= max_per_ray:
+            return num_rays * b
+    return num_rays * min(max_per_ray, max(_BUDGET_BUCKETS), max_steps)
+
+
+def render_rays(
+    field_spec: FieldSpec,
+    plan: MarchPlan,
+    params: Params,
+    bitfield: jnp.ndarray,
+    bbox: BBox,
+    rays: RayBundle,
+    t_thresh: float,
+    density_scale: float,
+    compute_dtype=jnp.float32,
+) -> Dict[str, jnp.ndarray]:
+    """Pure render pipeline for one ray batch (differentiable w.r.t. params).
+
+    Returns dict with ``rgb_map`` [N,3], ``trans_map`` [N] (normalized depth),
+    ``classes`` [N,K], ``weights_sum`` [N], ``num_points`` scalar.
+    Semantics: render_train (renderer.py:196-235) == render_test
+    (renderer.py:237-293) math.
+    """
+    nears, fars = near_far_from_aabb(rays.origins, rays.dirs, plan.aabb, plan.min_near)
+    samples = march_rays(plan, bitfield, rays, nears, fars)
+
+    rgbs, sigmas = field_apply(
+        field_spec, params, bbox, samples.xyz, samples.dirs, compute_dtype=compute_dtype
+    )
+    sigmas = sigmas * density_scale
+
+    out = composite_rays(sigmas, rgbs, samples, plan.num_rays, plan.dt, t_thresh)
+    classes = out.image[:, 3:]
+    rgb = out.image[:, :3]
+    # White background blend (renderer.py:232) applies to rgb only.
+    rgb = rgb + (1.0 - out.weights_sum)[:, None]
+    # Depth normalization (renderer.py:233); epsilon guards miss rays where
+    # fars == nears (the reference produces NaN there).
+    depth = jnp.clip(out.depth - nears, min=0.0) / jnp.maximum(fars - nears, 1e-10)
+
+    return {
+        "rgb_map": rgb,
+        "trans_map": depth,
+        "classes": classes,
+        "weights_sum": out.weights_sum,
+        "num_points": samples.num_kept,
+    }
+
+
+class Renderer:
+    """Host-side orchestrator: occupancy state + jitted render/update fns.
+
+    The training loop does NOT call this class inside its jitted step — the
+    trainer composes the pure functions directly.  This class serves
+    evaluation, the style stage, and the render CLI (the reference
+    ``Renderer.render`` surface, renderer.py:295-313).
+    """
+
+    def __init__(
+        self,
+        field_spec: FieldSpec,
+        params_template_bbox: BBox,
+        settings: RenderSettings,
+        intr: Intrinsics,
+        bound: float,
+        raymarch_channels: int = 3,
+        precrop_frac: float = 1.0,
+        compute_dtype=jnp.float32,
+    ):
+        if settings.use_ndc:
+            raise NotImplementedError(
+                "NDC is plumbed but not implemented — the reference never "
+                "enables it either (renderer.py:56-58, all call sites commented)."
+            )
+        self.field_spec = field_spec
+        self.settings = settings
+        self.intr = intr
+        self.bound = float(bound)
+        self.bbox = params_template_bbox
+        self.raymarch_channels = raymarch_channels
+        self.precrop_frac = precrop_frac
+        self.use_precrop = False
+        self.compute_dtype = compute_dtype
+
+        self.cascade = cascade_for_bound(self.bound)
+        self.occ_state: OccupancyState = occupancy_init(self.cascade, settings.grid_size)
+        self.update_occ = True
+        self._mean_count_host = 0
+        self._local_step_host = 0
+
+        self._render_jit_cache = {}
+
+    # ---- occupancy maintenance (renderer.py:138-194) ----
+
+    def _sigma_fn(self, params: Params):
+        spec, bbox, dtype = self.field_spec, self.bbox, self.compute_dtype
+
+        def f(pts):
+            return field_density(spec, params, bbox, pts, compute_dtype=dtype)
+
+        return f
+
+    def update_state(self, params: Params, key: jax.Array) -> None:
+        """Periodic occupancy refresh; full sweep early, random later
+        (renderer.py:139-194)."""
+        kwargs = dict(
+            bound=self.bound,
+            density_scale=self.settings.density_scale,
+            density_decay=self.settings.density_decay,
+            density_thresh=self.settings.density_thresh,
+        )
+        if self._local_step_host < self.settings.update_thres:
+            self.occ_state = occupancy_update_full(
+                self.occ_state, self._sigma_fn(params), key, **kwargs
+            )
+        else:
+            self.occ_state = occupancy_update_random(
+                self.occ_state, self._sigma_fn(params), key, **kwargs
+            )
+        # Host mirror of the device mean_count for budget bucketing (the
+        # reference syncs its step counter here too, renderer.py:192-194).
+        self._mean_count_host = int(self.occ_state.mean_count)
+
+    def note_batch_points(self, num_points) -> None:
+        """Feed the compacted point count of a train batch into mean_count."""
+        self.occ_state = update_mean_count(self.occ_state, jnp.asarray(num_points))
+        self._local_step_host += 1
+
+    def maybe_update_state(self, params: Params, key: jax.Array) -> bool:
+        if self.update_occ and (self._local_step_host % self.settings.update_iter == 0):
+            self.update_state(params, key)
+            return True
+        return False
+
+    # ---- rendering ----
+
+    def make_plan(self, num_rays: int, budget: Optional[int] = None) -> MarchPlan:
+        if budget is None:
+            budget = budget_for(
+                num_rays,
+                self._mean_count_host,
+                self.settings.max_steps,
+                self.settings.max_samples_per_ray,
+            )
+        return MarchPlan(
+            bound=self.bound,
+            cascade=self.cascade,
+            grid_size=self.settings.grid_size,
+            max_steps=self.settings.max_steps,
+            num_rays=num_rays,
+            budget=budget,
+            min_near=self.settings.min_near,
+        )
+
+    def _render_fn(self, plan: MarchPlan):
+        key = (plan.num_rays, plan.budget)
+        if key not in self._render_jit_cache:
+            spec = self.field_spec
+            t_thresh = self.settings.t_thresh
+            dscale = self.settings.density_scale
+            dtype = self.compute_dtype
+
+            @jax.jit
+            def f(params, bitfield, bbox, origins, dirs):
+                return render_rays(
+                    spec, plan, params, bitfield, bbox,
+                    RayBundle(origins, dirs), t_thresh, dscale, dtype,
+                )
+
+            self._render_jit_cache[key] = f
+        return self._render_jit_cache[key]
+
+    def render_ray_batch(self, params: Params, rays: RayBundle) -> Dict[str, jnp.ndarray]:
+        plan = self.make_plan(len(rays))
+        return self._render_fn(plan)(params, self.occ_state.bitfield, self.bbox,
+                                     rays.origins, rays.dirs)
+
+    def render(
+        self,
+        params: Params,
+        pose: jnp.ndarray,
+        image: Optional[jnp.ndarray] = None,
+        patch: Optional[Box2D] = None,
+        num_rays: Optional[int] = None,
+        training: bool = False,
+        key: Optional[jax.Array] = None,
+        chunk: int = 8192,
+    ) -> Dict[str, jnp.ndarray]:
+        """Reference Renderer.render surface (renderer.py:295-313).
+
+        Training: subsample ``num_rays`` pixels.  Inference: render every grid
+        pixel, chunked to bound memory (replaces the alive-ray loop).
+        """
+        precrop = self.precrop_frac if self.use_precrop else 1.0
+        rays, target = generate_rays(
+            pose, self.intr, image, patch=patch, precrop=precrop,
+            num_rays=num_rays, camera_flip=self.settings.flip_camera, key=key,
+        )
+        output: Dict[str, jnp.ndarray] = {"target": target}
+
+        n = len(rays)
+        if training and num_rays is not None:
+            out = self.render_ray_batch(params, rays)
+        else:
+            # pad to chunk multiple, render chunkwise, concat
+            pad = (-n) % chunk
+            o = jnp.concatenate([rays.origins, jnp.zeros((pad, 3))]) if pad else rays.origins
+            d = (
+                jnp.concatenate([rays.dirs, jnp.ones((pad, 3))]) if pad else rays.dirs
+            )
+            pieces = []
+            for i in range(0, n + pad, chunk):
+                pieces.append(
+                    self.render_ray_batch(params, RayBundle(o[i : i + chunk], d[i : i + chunk]))
+                )
+            out = {
+                k: jnp.concatenate([p[k] for p in pieces])[:n]
+                for k in ("rgb_map", "trans_map", "classes", "weights_sum")
+            }
+            out["num_points"] = sum(int(p["num_points"]) for p in pieces)
+
+        output.update(out)
+        return output
+
+    # ---- checkpoint interop (renderer.py:78-107) ----
+
+    def state_dict_static(self) -> Dict[str, object]:
+        """JSON-serializable validation fields (renderer.py:80-81,94-97)."""
+        return {
+            "intr": self.intr.asdict(),
+            "precrop_frac": self.precrop_frac,
+            "raymarch_channels": self.raymarch_channels,
+            "bound": self.bound,
+        }
+
+    def state_dict(self) -> Dict[str, object]:
+        s = self.occ_state
+        return {
+            "intr": self.intr.asdict(),
+            "precrop_frac": self.precrop_frac,
+            "raymarch_channels": self.raymarch_channels,
+            "bound": self.bound,
+            "density_grid": s.density_grid,
+            "bitfield": s.bitfield,
+            "mean_count": s.mean_count,
+            "mean_density": s.mean_density,
+            "local_step": s.local_step,
+        }
+
+    def load_state_dict(self, sd: Dict[str, object]) -> None:
+        for k in ("precrop_frac", "raymarch_channels", "bound"):
+            if k in sd and not _close(getattr(self, k), sd[k]):
+                raise ValueError(f'checkpoint mismatch for "{k}": {sd[k]} vs {getattr(self, k)}')
+        self.occ_state = OccupancyState(
+            density_grid=jnp.asarray(sd["density_grid"]),
+            bitfield=jnp.asarray(sd["bitfield"]),
+            mean_density=jnp.asarray(sd["mean_density"]),
+            mean_count=jnp.asarray(sd["mean_count"]),
+            local_step=jnp.asarray(sd["local_step"]),
+        )
+        self._mean_count_host = int(self.occ_state.mean_count)
+        self._local_step_host = int(self.occ_state.local_step)
+
+
+def _close(a, b) -> bool:
+    try:
+        return bool(abs(float(a) - float(b)) < 1e-9)
+    except (TypeError, ValueError):
+        return a == b

@@ -1,0 +1,575 @@
+"""Reconstruction-stage trainer.
+
+Rebuild of the reference ``Trainer`` (``/root/reference/trainers/base.py:25-455``)
+around a fully-jitted TPU train step.
+
+TPU-first design — one fused device program per iteration:
+
+  * The ENTIRE training dataset (images + seg channel + poses) is uploaded to
+    device once at startup; each step samples the frame and the 4096 pixels
+    on-device with the JAX PRNG.  Steady-state host<->device traffic is zero —
+    the reference uploads a 3 MB image every iteration and crosses into numpy
+    for pixel sampling (trainers/base.py:401-402, nerf_lib.py:118,134).
+  * Ray generation, occupancy-guided marching, the field MLPs, compositing,
+    all losses, the backward pass, the Adam update, and the EMA update are one
+    jitted function of the train-state pytree.
+  * Mixed precision is bf16 compute (enable_amp); there is no GradScaler
+    machinery because bf16 shares fp32's exponent range — this intentionally
+    replaces the reference's fp16 AMP + loss-scale skip logic
+    (trainers/base.py:420-425).
+  * The occupancy-grid refresh every ``update_iter`` steps is its own jitted
+    function (full sweep before ``update_thres``, random resample after),
+    mirroring renderer.py:139-194.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import (
+    BaseConfig,
+    DatasetConfig,
+    NetworkConfig,
+    RendererConfig,
+    TrainConfig,
+)
+from ..core.cameras import camera_dir_grid
+from ..core.types import DatasetSplit, LossValue, make_rays
+from ..data import get_dataset
+from ..losses.recon import (
+    cross_entropy_ignore,
+    mse_loss,
+    sparsity_loss,
+    weight_reg_loss,
+)
+from ..models.fields import field_apply, field_density, field_init, make_grid_spec, style_field_spec
+from ..render.renderer import Renderer, RenderSettings, render_rays
+from ..training import checkpoint as ckpt_lib
+from ..training.ema import EmaState, ema_init, ema_params, ema_update
+from .. import utils
+
+
+class ScalarLogger:
+    """Scalar metric sink: JSONL always; TensorBoard if available.
+
+    Replaces the reference's SummaryWriter-only logging
+    (trainers/base.py:122-124, 328-342)."""
+
+    def __init__(self, log_dir: Path):
+        self.path = Path(log_dir) / "scalars.jsonl"
+        self._tb = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter  # type: ignore
+
+            self._tb = SummaryWriter(log_dir=str(log_dir))
+        except Exception:
+            self._tb = None
+
+    def add_scalar(self, tag: str, value: float, step: int) -> None:
+        import json
+
+        with open(self.path, "a") as f:
+            f.write(json.dumps({"tag": tag, "value": float(value), "step": step}) + "\n")
+        if self._tb is not None:
+            self._tb.add_scalar(tag, value, step)
+
+
+class Trainer:
+    SAVE_KEYS = ["version", "log_dir", "iter_ctr", "cfg", "dataset_cfg",
+                 "train_cfg", "net_cfg", "render_cfg"]
+    OPTIM_KEYS = ["x_density_embedder", "x_color_embedder", "net"]
+
+    def __init__(
+        self,
+        cfg: BaseConfig,
+        nargs: List[str],
+        load_model_only: bool = False,
+        assume_yes: bool = True,
+    ):
+        self.logger = utils.create_logger(type(self).__name__)
+        self.iter_ctr = 0
+        self.time0 = 0.0
+        self.time1 = 0.0
+        self.version = utils.get_git_sha()
+        self.cfg = cfg
+        self.clock = utils.Clock()
+
+        # -- checkpoint preload (trainers/base.py:53-68) --
+        ckpt_meta, ckpt_groups = None, None
+        if cfg.ckpt is not None:
+            ckpt_meta, ckpt_groups = ckpt_lib.load_checkpoint(cfg.ckpt)
+            if not load_model_only:
+                self.iter_ctr = int(ckpt_meta["iter_ctr"])
+                if ckpt_meta.get("version") != self.version:
+                    self.logger.warning(
+                        'Checkpoint version "%s" differs from current repo '
+                        'version "%s".',
+                        str(ckpt_meta.get("version"))[:7], self.version[:7],
+                    )
+
+        # -- log dir (trainers/base.py:70-92, 172-183) --
+        self.log_dir: Optional[Path] = None
+        if ckpt_meta is None or load_model_only:
+            if cfg.log_dir is None:
+                self.logger.error("Log directory must be provided if training from scratch")
+            self._init_new_log_dir(cfg.log_dir, assume_yes)
+        else:
+            if cfg.log_dir is None or str(cfg.log_dir) == ckpt_meta["log_dir"]:
+                self.log_dir = Path(ckpt_meta["log_dir"])
+                if not self.log_dir.exists():
+                    self.logger.error(
+                        'Checkpoint log directory "%s" does not exist.', self.log_dir
+                    )
+            else:
+                self._init_new_log_dir(cfg.log_dir, assume_yes)
+
+        # -- config chain (trainers/base.py:94-111) --
+        if cfg.data_cfg is None:
+            if ckpt_meta is None:
+                self.logger.error("Data config must be provided if training from scratch")
+            cfg.data_cfg = Path(ckpt_meta["cfg"]["data_cfg"])
+        self.dataset_cfg, nargs = DatasetConfig.load_nargs(cfg.data_cfg, nargs=nargs)
+
+        train_cfg_path = Path("cfgs/training/style.yaml") if cfg.style_image is not None else None
+        render_cfg_path = Path(f"cfgs/renderer/{self.dataset_cfg.type.lower()}.yaml")
+        if not render_cfg_path.exists():
+            render_cfg_path = None
+
+        self.train_cfg, nargs = TrainConfig.load_nargs(train_cfg_path, nargs=nargs)
+        self.net_cfg, nargs = NetworkConfig.load_nargs(nargs=nargs)
+        self.render_cfg, nargs = RendererConfig.load_nargs(render_cfg_path, nargs=nargs)
+        if len(nargs) > 0:
+            self.logger.error("Unrecognized arguments: " + " ".join(nargs))
+
+        # -- PRNG discipline (replaces np/torch/cuda seeding, base.py:115-117) --
+        self.root_key = jax.random.PRNGKey(self.train_cfg.rng_seed)
+        self._data_key, self._occ_key, self.root_key = jax.random.split(self.root_key, 3)
+
+        self.writer = None
+        if self.train_cfg.intervals.log > 0:
+            self.writer = ScalarLogger(self.log_dir)
+
+        # -- datasets (base.py:126-135) --
+        self.train_set = get_dataset(self.dataset_cfg, split=DatasetSplit.TRAIN)
+        self.logger.info("Loaded %s", str(self.train_set))
+        self.test_set = get_dataset(
+            self.dataset_cfg, split=DatasetSplit.TEST, max_count=self.train_cfg.max_eval_count
+        )
+        self.logger.info("Loaded %s", str(self.test_set))
+
+        self.class_cmap = utils.tab10_colormap(max(self.train_set.num_classes, 1))
+
+        # -- model + renderer (base.py:146-158) --
+        max_bound = float(np.max(np.asarray(self.train_set.bbox.size)))
+        grid_spec = make_grid_spec(
+            n_lvls=self.net_cfg.pos_enc.n_lvls,
+            n_feats_per_lvl=self.net_cfg.pos_enc.n_feats_per_lvl,
+            hashmap_size=self.net_cfg.pos_enc.hashmap_size,
+            min_res=self.net_cfg.pos_enc.min_res,
+            max_res_coeff=self.net_cfg.pos_enc.max_res_coeff,
+            max_bound=max_bound,
+        )
+        self.field_spec = style_field_spec(
+            grid_spec,
+            class_dim=self.train_set.num_classes,
+            use_dir=False,  # base.py:149-151 constructs with use_dir=False
+            sh_degree=self.net_cfg.dir_enc_sh_deg,
+            density_hidden_dims=self.net_cfg.density_hidden_dims,
+            density_hidden_layers=self.net_cfg.density_hidden_layers,
+            rgb_hidden_dims=self.net_cfg.rgb_hidden_dims,
+            rgb_hidden_layers=self.net_cfg.rgb_hidden_layers,
+        )
+        net_key = jax.random.PRNGKey(
+            self.net_cfg.network_seed if self.net_cfg.network_seed is not None
+            else self.train_cfg.rng_seed
+        )
+        self.params = field_init(net_key, self.field_spec)
+        self.compute_dtype = jnp.bfloat16 if self.train_cfg.enable_amp else jnp.float32
+
+        self.settings = RenderSettings(
+            grid_size=self.render_cfg.grid_size,
+            update_iter=self.render_cfg.update_iter,
+            min_near=self.render_cfg.min_near,
+            t_thresh=self.render_cfg.t_thresh,
+            use_ndc=self.render_cfg.use_ndc,
+            flip_camera=self.render_cfg.flip_camera,
+            max_steps=self.render_cfg.max_steps,
+            update_thres=self.render_cfg.update_thres,
+            density_scale=self.render_cfg.density_scale,
+            density_thresh=self.render_cfg.density_thresh,
+            density_decay=self.render_cfg.density_decay,
+            grid_bsize=self.render_cfg.grid_bsize,
+            max_samples_per_ray=self.render_cfg.max_samples_per_ray,
+        )
+        self.renderer = Renderer(
+            self.field_spec,
+            self.train_set.bbox,
+            self.settings,
+            self.train_set.intr,
+            float(self.dataset_cfg.bound),
+            raymarch_channels=3 + self.train_set.num_classes,
+            precrop_frac=self.train_cfg.precrop_fraction,
+            compute_dtype=self.compute_dtype,
+        )
+
+        # -- optimizer + EMA (base.py:185-229) --
+        self._reset_optim(self.OPTIM_KEYS)
+        self.ema_state: EmaState = ema_init(self.params)
+
+        # -- checkpoint restore (base.py:162-168) --
+        if ckpt_groups is not None:
+            self._restore(ckpt_meta, ckpt_groups, load_model_only)
+            self.logger.info('Loaded checkpoint "%s"', cfg.ckpt)
+        else:
+            self.logger.info("Initialized new %s from scratch", type(self).__name__)
+
+        # -- device-resident dataset (TPU-first; see module docstring) --
+        self._stage_train_data()
+        self._train_step_cache: Dict = {}
+
+    # ------------------------------------------------------------------
+    # setup helpers
+    # ------------------------------------------------------------------
+
+    def _init_new_log_dir(self, log_dir, assume_yes: bool):
+        self.log_dir = Path(log_dir)
+        self.log_dir.mkdir(parents=True, exist_ok=True)
+        if next(self.log_dir.iterdir(), None) is not None:
+            if utils.prompt_bool("Log directory not empty. Clean directory?", assume_yes):
+                utils.rmtree(self.log_dir)
+                self.log_dir.mkdir()
+            else:
+                import sys
+
+                sys.exit(1)
+
+    def _optim_mask(self, keywords: Optional[List[str]]):
+        """Per-top-level-key trainability mask (keyword substring match, exactly
+        the reference's param filtering, base.py:188-199)."""
+
+        def flag(name):
+            return keywords is None or any(kw in name for kw in keywords)
+
+        return {
+            k: jax.tree_util.tree_map(lambda _: flag(k), v)
+            for k, v in self.params.items()
+        }
+
+    def _lr_schedule(self):
+        lr0 = self.train_cfg.initial_learning_rate
+        decay = self.train_cfg.learning_rate_decay
+        if decay > 0:
+            # 0.1 ** (iter / decay) (base.py:223-225)
+            return optax.exponential_decay(lr0, transition_steps=decay, decay_rate=0.1)
+        return lr0
+
+    def _reset_optim(self, keywords: Optional[List[str]]):
+        mask = self._optim_mask(keywords)
+        n_trainable = sum(
+            int(np.prod(leaf.shape))
+            for leaf, flag in zip(
+                jax.tree_util.tree_leaves(self.params), jax.tree_util.tree_leaves(mask)
+            )
+            if flag
+        )
+        self.logger.info(
+            "Optimizing %d parameters from components %s", n_trainable, keywords
+        )
+        self.optim = optax.masked(
+            optax.adam(self._lr_schedule(), b1=0.9, b2=0.999, eps=1e-15), mask
+        )
+        self.opt_state = self.optim.init(self.params)
+
+    def _stage_train_data(self):
+        """Upload the full training set to device memory once."""
+        imgs = []
+        for i in range(len(self.train_set)):
+            img, _pose = self.train_set[i]
+            imgs.append(img)
+        self._images_dev = jnp.asarray(np.stack(imgs))  # [F, C(+1), H, W]
+        self._poses_dev = jnp.asarray(self.train_set.poses)
+
+    # ------------------------------------------------------------------
+    # jitted train step
+    # ------------------------------------------------------------------
+
+    def _build_train_step(self, plan, precrop: float):
+        """Compile a train step for a given march plan + precrop window."""
+        spec = self.field_spec
+        settings = self.settings
+        bbox = self.train_set.bbox
+        tc = self.train_cfg
+        num_rays = tc.num_rays_per_batch
+        cam_dirs_np, ys_np, xs_np = camera_dir_grid(
+            self.train_set.intr, settings.flip_camera, precrop
+        )
+        gh, gw = cam_dirs_np.shape[:2]
+        cam_dirs = jnp.asarray(cam_dirs_np.reshape(-1, 3))
+        pix_y = jnp.asarray(ys_np)
+        pix_x = jnp.asarray(xs_np)
+        optim = self.optim
+        ema_decay = tc.ema_decay
+        dtype = self.compute_dtype
+
+        def loss_fn(params, bitfield, image, pose, key):
+            k_pix, k_sparse = jax.random.split(key)
+            # On-device pixel subsampling (replaces nerf_lib.py:134's
+            # np.random.choice without replacement).
+            idx = jax.random.choice(k_pix, gh * gw, shape=(num_rays,), replace=False)
+            gy, gx = idx // gw, idx % gw
+            dirs_cam = cam_dirs[idx]
+            rays_d = dirs_cam @ pose[:3, :3].T
+            rays = make_rays(pose[:3, 3], rays_d)
+            target = image[:, pix_y[gy], pix_x[gx]].T  # [K, C(+1)]
+
+            out = render_rays(
+                spec, plan, params, bitfield, bbox, rays,
+                settings.t_thresh, settings.density_scale, dtype,
+            )
+
+            rgb_target = target[:, :3]
+            losses = {}
+            mse = mse_loss(out["rgb_map"], rgb_target)
+            losses["mse"] = mse
+            losses["psnr"] = utils.compute_psnr(mse)
+            total = mse
+
+            if spec.class_dim > 0 and target.shape[1] == 4:
+                labels = target[:, 3].astype(jnp.int32)
+                class_l = cross_entropy_ignore(out["classes"], labels) * tc.class_lambda
+                losses["class"] = class_l
+                total = total + class_l
+
+            if tc.sparsity_lambda > 0.0:
+                pts = jax.random.uniform(k_sparse, (tc.sparsity_samples, 3))
+                pts = pts * bbox.size + bbox.min_pt
+                sig = field_density(spec, params, bbox, pts, compute_dtype=dtype)
+                sp = sparsity_loss(sig, tc.sparsity_exp_coeff) * tc.sparsity_lambda
+                losses["sparsity"] = sp
+                total = total + sp
+
+            if tc.weight_reg_lambda > 0.0:
+                wr = weight_reg_loss(params) * tc.weight_reg_lambda
+                losses["weight_reg"] = wr
+                total = total + wr
+
+            losses["total"] = total
+            return total, (losses, out["num_points"])
+
+        @jax.jit
+        def step(params, opt_state, ema_state, bitfield, image, pose, key):
+            (_, (losses, num_points)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, bitfield, image, pose, key)
+            updates, opt_state = optim.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            ema_state = ema_update(ema_state, params, ema_decay)
+            return params, opt_state, ema_state, losses, num_points
+
+        return step
+
+    def _get_train_step(self):
+        precrop = (
+            self.renderer.precrop_frac
+            if self.iter_ctr < self.train_cfg.precrop_iterations
+            else 1.0
+        )
+        plan = self.renderer.make_plan(self.train_cfg.num_rays_per_batch)
+        cache_key = (plan.budget, precrop)
+        if cache_key not in self._train_step_cache:
+            self._train_step_cache[cache_key] = self._build_train_step(plan, precrop)
+        return self._train_step_cache[cache_key]
+
+    # ------------------------------------------------------------------
+    # loop (base.py:396-449)
+    # ------------------------------------------------------------------
+
+    def run_iter(self):
+        self.time0 = time.time()
+        self._occ_key, k_occ = jax.random.split(self._occ_key)
+        self.renderer.maybe_update_state(self.params, k_occ)
+
+        self._data_key, k_img, k_step = jax.random.split(self._data_key, 3)
+        frame = int(jax.random.randint(k_img, (), 0, len(self.train_set)))
+
+        step_fn = self._get_train_step()
+        (
+            self.params,
+            self.opt_state,
+            self.ema_state,
+            losses,
+            num_points,
+        ) = step_fn(
+            self.params,
+            self.opt_state,
+            self.ema_state,
+            self.renderer.occ_state.bitfield,
+            self._images_dev[frame],
+            self._poses_dev[frame],
+            k_step,
+        )
+        self.renderer.note_batch_points(num_points)
+
+        self.iter_ctr += 1
+        self.time1 = time.time()
+
+        losses_lv = self._to_loss_values(losses)
+        if self._check_interval(self.train_cfg.intervals.print):
+            self.print_status(losses_lv)
+        if self._check_interval(self.train_cfg.intervals.test):
+            self.test_networks()
+        if self._check_interval(self.train_cfg.intervals.log):
+            self.log_status(losses_lv)
+        if self._check_interval(self.train_cfg.intervals.ckpt, final=True):
+            self.save_ckpt()
+
+    def run(self):
+        if self.train_cfg.test_before_train:
+            self.test_networks()
+        while self.iter_ctr < self.train_cfg.num_iterations:
+            self.run_iter()
+
+    def close(self):
+        self.logger.info("Closed")
+
+    # ------------------------------------------------------------------
+    # reporting (base.py:306-342)
+    # ------------------------------------------------------------------
+
+    _PRINT_NAMES = {
+        "mse": ("MSE", "mse_loss"),
+        "psnr": ("PSNR", "psnr"),
+        "class": ("Class", "class_loss"),
+        "sparsity": ("Sparsity", "sparsity_loss"),
+        "weight_reg": ("Weight Reg.", "weight_reg_loss"),
+        "total": ("Total", "total_loss"),
+        "content": ("Content", "content_loss"),
+        "style": ("Style", "style_loss"),
+        "photo": ("Photo", "photo_loss"),
+    }
+
+    def _to_loss_values(self, losses: Dict[str, jnp.ndarray]) -> Dict[str, LossValue]:
+        out = {}
+        for k, v in losses.items():
+            pn, ln = self._PRINT_NAMES.get(k, (k, k))
+            out[k] = LossValue(pn, ln, v)
+        return out
+
+    def print_status(self, losses: Dict[str, LossValue], phase: str = "TRAIN"):
+        items = [f"{lv.print_name}: {float(lv.value):.5f}" for lv in losses.values()]
+        self.logger.info("[%s] Iter: %d, %s", phase, self.iter_ctr, ", ".join(items))
+
+    def log_status(self, losses: Dict[str, LossValue]):
+        if self.writer is None:
+            return
+        for lv in losses.values():
+            self.writer.add_scalar(f"train/{lv.log_name}", float(lv.value), self.iter_ctr)
+        self.writer.add_scalar("misc/iter_time", self.time1 - self.time0, self.iter_ctr)
+
+    def _check_interval(self, interval, after=0, final=False):
+        if interval <= 0:
+            return False
+        is_final = (self.iter_ctr == self.train_cfg.num_iterations) and final
+        return ((self.iter_ctr % interval == 0) or is_final) and (self.iter_ctr > after)
+
+    # ------------------------------------------------------------------
+    # evaluation (base.py:344-386)
+    # ------------------------------------------------------------------
+
+    def eval_params(self):
+        return ema_params(self.ema_state, self.params, self.train_cfg.ema_decay is not None)
+
+    def test_networks(self):
+        img_dir = self.log_dir / "epoch_{:0{w}d}".format(
+            self.iter_ctr, w=len(str(self.train_cfg.num_iterations))
+        )
+        img_dir.mkdir(exist_ok=True)
+
+        params = self.eval_params()
+        h, w = self.test_set.intr.h, self.test_set.intr.w
+        mses = []
+        for i in range(len(self.test_set)):
+            img, pose = self.test_set[i]
+            frame_id = self.test_set.fns[i]
+            output = self.renderer.render(
+                params, jnp.asarray(pose),
+                jnp.asarray(img) if img is not None else None,
+                training=False,
+            )
+            rgb = np.asarray(output["rgb_map"]).reshape(h, w, 3)
+            utils.save_image(rgb, img_dir / f"{frame_id}.png")
+
+            if self.train_set.num_classes > 0:
+                preds = np.argmax(np.asarray(output["classes"]), axis=1).reshape(h, w)
+                seg_rgb = self.class_cmap[preds]
+                utils.save_image(seg_rgb, img_dir / f"{frame_id}_seg.png")
+
+            if self.test_set.has_gt and output["target"] is not None:
+                target = np.asarray(output["target"])[:, :3]
+                mses.append(float(np.mean((np.asarray(output["rgb_map"]) - target) ** 2)))
+
+        if mses:
+            mse = float(np.mean(mses))
+            psnr = -10.0 * np.log(mse) / np.log(10.0)
+            self.logger.info(
+                "[TEST] Iter: %d, MSE: %.5f, PSNR: %.5f", self.iter_ctr, mse, psnr
+            )
+            return {"mse": mse, "psnr": psnr}
+        return {}
+
+    # ------------------------------------------------------------------
+    # checkpointing (base.py:231-249)
+    # ------------------------------------------------------------------
+
+    def save_ckpt(self):
+        ckpt_fn = "iter_{:0{w}d}.ckpt".format(
+            self.iter_ctr, w=len(str(self.train_cfg.num_iterations))
+        )
+        path = self.log_dir / ckpt_fn
+        meta = {
+            "version": self.version,
+            "log_dir": str(self.log_dir),
+            "iter_ctr": self.iter_ctr,
+            "cfg": self.cfg.asdict(),
+            "dataset_cfg": self.dataset_cfg.asdict(),
+            "train_cfg": self.train_cfg.asdict(),
+            "net_cfg": self.net_cfg.asdict(),
+            "render_cfg": self.render_cfg.asdict(),
+            "renderer_static": self.renderer.state_dict_static(),
+        }
+        trees = {
+            "params": self.params,
+            "opt_state": self.opt_state,
+            "ema": self.ema_state,
+            "occ": self.renderer.occ_state,
+        }
+        ckpt_lib.save_checkpoint(path, meta, trees)
+        self.logger.info("Saved checkpoint at %s", path)
+
+    def _restore(self, meta: Dict, groups: Dict, load_model_only: bool):
+        self.params = ckpt_lib.restore_tree(self.params, groups["params"])
+        self.renderer.occ_state = ckpt_lib.restore_tree(
+            self.renderer.occ_state, groups["occ"]
+        )
+        self.renderer._mean_count_host = int(self.renderer.occ_state.mean_count)
+        self.renderer._local_step_host = int(self.renderer.occ_state.local_step)
+        if not load_model_only:
+            self.opt_state = ckpt_lib.restore_tree(self.opt_state, groups["opt_state"])
+            self.ema_state = ckpt_lib.restore_tree(self.ema_state, groups["ema"])
+
+
+def get_trainer(cfg: BaseConfig, nargs: List[str]) -> Trainer:
+    """Trainer factory (reference trainers/__init__.py:10-35): style stage when
+    a style image is supplied."""
+    if cfg.style_image is None:
+        return Trainer(cfg, nargs)
+    from .style_trainer import StyleTrainer
+
+    return StyleTrainer(cfg, nargs)

@@ -1,0 +1,19 @@
+"""Test configuration: force CPU platform with 8 virtual devices.
+
+The multi-device tests exercise real mesh sharding via XLA's host-platform
+device-count simulation — the standard JAX trick for testing pjit/shard_map
+layouts without hardware (the driver separately dry-runs the multi-chip path).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)

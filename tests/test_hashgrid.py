@@ -1,0 +1,178 @@
+"""Hash-grid encoder tests: index law vs a literal numpy reference, interpolation
+properties, gradient behavior."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerfstyle_tpu.ops.hashgrid import (
+    _MAX_STYLES,
+    _PRIMES,
+    hashgrid_encode,
+    hashgrid_init,
+    hashgrid_spec,
+)
+
+
+def _ref_grid_index(pos_grid, resolution, table_size, style=0):
+    """Literal transcription of get_grid_index semantics (gridencoder.cu:56-80)
+    as slow scalar numpy for cross-checking."""
+    index = 0
+    stride = 1
+    for d in range(3):
+        if stride <= table_size:
+            index += int(pos_grid[d]) * stride
+            stride *= resolution + 1
+        else:
+            break
+    if stride <= table_size:
+        index += style * stride
+        stride *= _MAX_STYLES
+    if stride > table_size:  # gridtype == hash
+        index = 0
+        for d in range(3):
+            index ^= (int(pos_grid[d]) * _PRIMES[d]) & 0xFFFFFFFF
+        index ^= (style * _PRIMES[3]) & 0xFFFFFFFF
+        index &= 0xFFFFFFFF
+    return index % table_size
+
+
+def _ref_encode(spec, emb, x, style=0):
+    """Slow numpy re-implementation of the forward kernel (gridencoder.cu:84-187)."""
+    emb = np.asarray(emb)
+    b = x.shape[0]
+    out = np.zeros((b, spec.num_levels, spec.level_dim), np.float32)
+    for i in range(b):
+        if np.any((x[i] < 0) | (x[i] > 1)):
+            continue
+        for lvl in range(spec.num_levels):
+            res = spec.resolutions[lvl]
+            scale = float(res)  # align_corners
+            pos = x[i] * scale
+            pg = np.minimum(np.floor(pos), res - 1)
+            frac = pos - pg
+            acc = np.zeros(spec.level_dim, np.float32)
+            for c in range(8):
+                w = 1.0
+                corner = np.zeros(3, np.int64)
+                for d in range(3):
+                    if (c >> d) & 1:
+                        w *= frac[d]
+                        corner[d] = pg[d] + 1
+                    else:
+                        w *= 1 - frac[d]
+                        corner[d] = pg[d]
+                idx = _ref_grid_index(corner, res, spec.table_sizes[lvl], style)
+                acc += w * emb[spec.offsets[lvl] + idx]
+            out[i, lvl] = acc
+    return out.reshape(b, -1)
+
+
+class TestSpec:
+    def test_default_spec_tables(self):
+        spec = hashgrid_spec(16, 2, 16, log2_hashmap_size=19, desired_resolution=4096)
+        assert spec.num_levels == 16
+        assert spec.resolutions[0] == 16
+        assert spec.resolutions[-1] in (4095, 4096)  # fp32 floor law
+        # level 0 table: 16^3 = 4096 (already mult of 8)
+        assert spec.table_sizes[0] == 4096
+        # capped levels hit 2^19
+        assert spec.table_sizes[-1] == 2**19
+        assert spec.offsets[-1] == sum(spec.table_sizes)
+
+    def test_per_level_scale_from_desired(self):
+        spec = hashgrid_spec(16, 2, 16, desired_resolution=4096)
+        np.testing.assert_allclose(spec.per_level_scale, 2 ** (8 / 15), rtol=1e-6)
+
+
+class TestEncode:
+    @pytest.mark.parametrize("levels,base", [(4, 4), (6, 16)])
+    def test_matches_numpy_reference(self, levels, base):
+        spec = hashgrid_spec(levels, 2, base, per_level_scale=1.5, log2_hashmap_size=10)
+        key = jax.random.PRNGKey(0)
+        emb = hashgrid_init(key, spec)
+        x = np.asarray(jax.random.uniform(jax.random.PRNGKey(1), (32, 3)))
+        got = np.asarray(hashgrid_encode(spec, emb, jnp.asarray(x)))
+        want = _ref_encode(spec, emb, x)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-8)
+
+    def test_oob_zeros(self):
+        spec = hashgrid_spec(2, 2, 4, per_level_scale=2.0, log2_hashmap_size=8)
+        emb = hashgrid_init(jax.random.PRNGKey(0), spec)
+        x = jnp.asarray([[1.5, 0.5, 0.5], [-0.1, 0.2, 0.2]])
+        out = np.asarray(hashgrid_encode(spec, emb, x))
+        np.testing.assert_array_equal(out, 0.0)
+
+    def test_interpolation_continuity(self):
+        """Encoding must be continuous: nearby points give nearby features."""
+        spec = hashgrid_spec(4, 2, 8, per_level_scale=2.0, log2_hashmap_size=12)
+        emb = hashgrid_init(jax.random.PRNGKey(0), spec)
+        x0 = jnp.asarray([[0.3, 0.4, 0.5]])
+        eps = 1e-5
+        x1 = x0 + eps
+        f0 = np.asarray(hashgrid_encode(spec, emb, x0))
+        f1 = np.asarray(hashgrid_encode(spec, emb, x1))
+        assert np.max(np.abs(f1 - f0)) < 1e-3
+
+    def test_style_slot_changes_features(self):
+        spec = hashgrid_spec(2, 2, 16, per_level_scale=2.0, log2_hashmap_size=10)
+        emb = hashgrid_init(jax.random.PRNGKey(0), spec)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (8, 3))
+        f0 = np.asarray(hashgrid_encode(spec, emb, x, style=0))
+        f1 = np.asarray(hashgrid_encode(spec, emb, x, style=1))
+        assert np.abs(f0 - f1).max() > 0
+
+
+class TestGrad:
+    def test_embedding_grad_matches_fd(self):
+        spec = hashgrid_spec(2, 2, 4, per_level_scale=2.0, log2_hashmap_size=6)
+        emb = hashgrid_init(jax.random.PRNGKey(0), spec)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (8, 3))
+
+        def loss(e):
+            return jnp.sum(hashgrid_encode(spec, e, x) ** 2)
+
+        g = np.asarray(jax.grad(loss)(emb))
+        # finite differences on a few entries
+        rng = np.random.default_rng(0)
+        base = float(loss(emb))
+        for _ in range(5):
+            i = int(rng.integers(0, emb.shape[0]))
+            j = int(rng.integers(0, emb.shape[1]))
+            h = 1e-3
+            e2 = emb.at[i, j].add(h)
+            fd = (float(loss(e2)) - base) / h
+            np.testing.assert_allclose(g[i, j], fd, rtol=2e-2, atol=1e-4)
+
+    def test_input_grad_matches_fd(self):
+        spec = hashgrid_spec(3, 2, 8, per_level_scale=1.7, log2_hashmap_size=10)
+        emb = jax.random.normal(jax.random.PRNGKey(2), (spec.total_params, 2)) * 0.1
+        x = jnp.asarray([[0.33, 0.41, 0.57]])
+
+        def loss(pt):
+            return jnp.sum(hashgrid_encode(spec, emb, pt))
+
+        g = np.asarray(jax.grad(loss)(x))
+        for d in range(3):
+            h = 1e-4
+            x2 = x.at[0, d].add(h)
+            fd = (float(loss(x2)) - float(loss(x))) / h
+            np.testing.assert_allclose(g[0, d], fd, rtol=5e-2, atol=1e-3)
+
+    def test_grad_deterministic(self):
+        """Unlike the CUDA atomicAdd backward, grads are bit-reproducible."""
+        spec = hashgrid_spec(4, 2, 8, per_level_scale=2.0, log2_hashmap_size=8)
+        emb = hashgrid_init(jax.random.PRNGKey(0), spec)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (512, 3))
+
+        def loss(e):
+            return jnp.sum(hashgrid_encode(spec, e, x) ** 2)
+
+        g1 = np.asarray(jax.grad(loss)(emb))
+        g2 = np.asarray(jax.grad(loss)(emb))
+        np.testing.assert_array_equal(g1, g2)
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
