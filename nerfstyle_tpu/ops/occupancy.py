@@ -115,7 +115,9 @@ def occupancy_update_full(
     cascade, n = state.density_grid.shape
     grid_size = round(n ** (1 / 3))
     coords = jnp.asarray(all_cell_coords(grid_size))  # linear order -> index == position
-    assert n % chunk == 0, "chunk must divide grid_size**3"
+    chunk = min(chunk, n)
+    while n % chunk != 0:  # grid_size**3 is a power of two in practice
+        chunk //= 2
 
     def one_cascade(cas: int, k: jax.Array) -> jnp.ndarray:
         pts = cells_to_cascade_points(coords, cas, grid_size, bound, k)

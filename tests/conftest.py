@@ -1,13 +1,16 @@
 """Test configuration: force CPU platform with 8 virtual devices.
 
-The multi-device tests exercise real mesh sharding via XLA's host-platform
-device-count simulation — the standard JAX trick for testing pjit/shard_map
-layouts without hardware (the driver separately dry-runs the multi-chip path).
+The ambient environment pins JAX_PLATFORMS=axon (a remote TPU tunnel) and the
+axon plugin ignores the env var, so the platform must be forced through
+jax.config.  Multi-device tests exercise real mesh sharding via XLA's
+host-platform device-count simulation — the standard JAX trick for testing
+pjit/shard_map layouts without hardware (the driver separately dry-runs the
+multi-chip path).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,4 +19,5 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
