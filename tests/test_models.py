@@ -1,0 +1,121 @@
+"""Model tests: field shapes/behavior, VGG extractor shapes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerfstyle_tpu.core.types import BBox
+from nerfstyle_tpu.models.fields import (
+    FieldSpec,
+    field_apply,
+    field_density,
+    field_init,
+    style_field_spec,
+)
+from nerfstyle_tpu.ops.hashgrid import hashgrid_spec
+
+
+@pytest.fixture(scope="module")
+def tiny_field():
+    grid = hashgrid_spec(3, 2, 8, per_level_scale=1.5, log2_hashmap_size=8)
+    spec = style_field_spec(grid, class_dim=4)
+    params = field_init(jax.random.PRNGKey(0), spec)
+    bbox = BBox.from_radius(1.0)
+    return spec, params, bbox
+
+
+class TestStyleField:
+    def test_shapes(self, tiny_field):
+        spec, params, bbox = tiny_field
+        pts = jax.random.uniform(jax.random.PRNGKey(1), (17, 3), minval=-1, maxval=1)
+        dirs = jax.random.normal(jax.random.PRNGKey(2), (17, 3))
+        chans, sigmas = field_apply(spec, params, bbox, pts, dirs)
+        assert chans.shape == (17, 3 + 4)
+        assert sigmas.shape == (17,)
+
+    def test_rgb_in_unit_range(self, tiny_field):
+        spec, params, bbox = tiny_field
+        pts = jax.random.uniform(jax.random.PRNGKey(1), (64, 3), minval=-1, maxval=1)
+        dirs = jnp.ones((64, 3))
+        chans, _ = field_apply(spec, params, bbox, pts, dirs)
+        rgb = np.asarray(chans[:, :3])
+        assert np.all(rgb > 0) and np.all(rgb < 1)  # sigmoid output
+
+    def test_sigmas_positive(self, tiny_field):
+        spec, params, bbox = tiny_field
+        pts = jax.random.uniform(jax.random.PRNGKey(3), (32, 3), minval=-1, maxval=1)
+        sig = field_density(spec, params, bbox, pts)
+        assert np.all(np.asarray(sig) > 0)  # trunc_exp output
+
+    def test_density_only_matches_full(self, tiny_field):
+        spec, params, bbox = tiny_field
+        pts = jax.random.uniform(jax.random.PRNGKey(4), (8, 3), minval=-1, maxval=1)
+        sig1 = field_density(spec, params, bbox, pts)
+        _, sig2 = field_apply(spec, params, bbox, pts, jnp.ones((8, 3)))
+        np.testing.assert_allclose(np.asarray(sig1), np.asarray(sig2), rtol=1e-6)
+
+    def test_color_params_dont_affect_density(self, tiny_field):
+        spec, params, bbox = tiny_field
+        pts = jax.random.uniform(jax.random.PRNGKey(5), (8, 3), minval=-1, maxval=1)
+        sig1 = field_density(spec, params, bbox, pts)
+        mutated = dict(params)
+        mutated["x_color_embedder"] = params["x_color_embedder"] + 123.0
+        sig2 = field_density(spec, mutated, bbox, pts)
+        np.testing.assert_array_equal(np.asarray(sig1), np.asarray(sig2))
+
+    def test_use_dir_changes_arch(self):
+        grid = hashgrid_spec(2, 2, 8, per_level_scale=1.5, log2_hashmap_size=8)
+        spec = style_field_spec(grid, class_dim=2, use_dir=True, sh_degree=4)
+        params = field_init(jax.random.PRNGKey(0), spec)
+        # color2_net input: 16 + 16 SH dims
+        assert params["color2_net"][0].shape[0] == 32
+        pts = jax.random.uniform(jax.random.PRNGKey(1), (5, 3), minval=-1, maxval=1)
+        dirs = jax.random.normal(jax.random.PRNGKey(2), (5, 3))
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        chans, _ = field_apply(spec, params, bbox=BBox.from_radius(1.0), pts=pts, dirs=dirs)
+        assert chans.shape == (5, 5)
+
+
+class TestBaseField:
+    def test_tcnerf_variant(self):
+        grid = hashgrid_spec(2, 2, 8, per_level_scale=1.5, log2_hashmap_size=8)
+        spec = FieldSpec(grid=grid, kind="base", density_out_dims=16, sh_degree=4)
+        params = field_init(jax.random.PRNGKey(0), spec)
+        assert set(params) == {"x_embedder", "density_net", "rgb_net"}
+        # rgb_net input: (16-1) + 16 SH
+        assert params["rgb_net"][0].shape[0] == 31
+        bbox = BBox.from_radius(1.0)
+        pts = jax.random.uniform(jax.random.PRNGKey(1), (6, 3), minval=-1, maxval=1)
+        dirs = jnp.ones((6, 3)) / np.sqrt(3)
+        rgbs, sigmas = field_apply(spec, params, bbox, pts, dirs)
+        assert rgbs.shape == (6, 3) and sigmas.shape == (6,)
+
+
+class TestVGG:
+    def test_feature_shapes(self):
+        from nerfstyle_tpu.models.vgg import VGG16FeatureExtractor
+
+        fx = VGG16FeatureExtractor(["relu3", "conv1_1"])
+        x = jnp.zeros((1, 3, 32, 48))
+        out = fx(x)
+        # relu3 = concat of relu3_1..3_3: 3*256 channels at /4 resolution
+        assert out["relu3"].shape == (1, 768, 8, 12)
+        assert out["conv1_1"].shape == (1, 64, 32, 48)
+
+    def test_invalid_key_raises(self):
+        from nerfstyle_tpu.models.vgg import VGG16FeatureExtractor
+
+        with pytest.raises(ValueError):
+            VGG16FeatureExtractor(["relu9"])
+
+    def test_accepts_3d_input(self):
+        from nerfstyle_tpu.models.vgg import VGG16FeatureExtractor
+
+        fx = VGG16FeatureExtractor(["relu1"])
+        out = fx(jnp.zeros((3, 16, 16)))
+        assert out["relu1"].shape[0] == 1
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
