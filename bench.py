@@ -22,6 +22,16 @@ REFERENCE_RAYS_PER_SEC = 150_000.0  # nominal RTX 3090 figure (see docstring)
 
 
 def main():
+    import jax
+
+    # Persistent compilation cache: the flagship graphs are large and the
+    # remote TPU compile helper is slow; caching makes warmup near-free on
+    # repeat runs.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import numpy as np
 
     work = Path(os.environ.get("NERFSTYLE_BENCH_DIR", "/tmp/nerfstyle_bench"))

@@ -124,6 +124,39 @@ _CORNERS = np.array(
 )
 
 
+def corner_indices_weights(spec: HashGridSpec, x: jnp.ndarray, style: int = 0):
+    """All-level corner table indices and trilinear weights.
+
+    Returns (flat_idx [B, L, 8] i32 into the flat table, weights [B, L, 8],
+    oob [B] bool).  Pure int/elementwise math — cheap to recompute in the
+    backward pass instead of saving 134 MB of indices as residuals.
+    """
+    corners = jnp.asarray(_CORNERS)
+    all_idx, all_w = [], []
+    for lvl in range(spec.num_levels):
+        res = spec.resolutions[lvl]
+        scale = jnp.float32(res)  # align_corners=True: scale = resolution (cu:138)
+        pos = x * scale
+        pos_grid = jnp.clip(jnp.floor(pos), 0.0, res - 1)  # cu:147
+        frac = pos - pos_grid
+
+        corner_coords = pos_grid[:, None, :].astype(jnp.int32) + corners[None]
+        idx = _level_indices(corner_coords, res, spec.table_sizes[lvl], style)
+        all_idx.append(idx + spec.offsets[lvl])
+
+        w = jnp.where(
+            corners[None].astype(jnp.float32) == 1.0,
+            frac[:, None, :],
+            1.0 - frac[:, None, :],
+        )
+        all_w.append(jnp.prod(w, axis=-1))
+
+    flat_idx = jnp.stack(all_idx, axis=1)
+    weights = jnp.stack(all_w, axis=1)
+    oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1)
+    return flat_idx, weights, oob
+
+
 def _level_indices(
     pos_grid: jnp.ndarray, resolution: int, table_size: int, style: int
 ) -> jnp.ndarray:
@@ -157,49 +190,135 @@ def _level_indices(
     return (index % jnp.uint32(table_size)).astype(jnp.int32)
 
 
+def _encode_from_indices(embeddings, flat_idx, weights, oob, b, out_dim):
+    feats = embeddings[flat_idx]  # [B, L, 8, C] — the one gather
+    out = jnp.sum(weights[..., None] * feats, axis=2)  # [B, L, C]
+    out = jnp.where(oob[:, None, None], 0.0, out)
+    return out.reshape(b, out_dim)
+
+
 def hashgrid_encode(
     spec: HashGridSpec,
     embeddings: jnp.ndarray,
     x: jnp.ndarray,
     style: int = 0,
+    fast_vjp: bool = True,
 ) -> jnp.ndarray:
     """Encode points through all levels.
 
     Args:
         spec: static geometry.
-        embeddings: [total_params, level_dim] table.
+        embeddings: [total_params, C] table; C may exceed ``spec.level_dim``
+            (the StyleNerf field concatenates its density+color tables into one
+            [T, 4] operand so both encoders share a single gather — the corner
+            indices are identical).
         x: [B, 3] coordinates in [0, 1] (out-of-range rows produce zeros).
         style: static style slot (0 in the reference's entire active path;
             multi-style tables are dormant, style_nerf.py:100-116).
+        fast_vjp: use the TPU-optimized custom backward (sort-compact-scatter,
+            see ``_encode_bwd``).  The fast path returns ZERO input-position
+            gradients — positions are never differentiated in this framework
+            (they come from the non-differentiable marcher, like the
+            reference's detached march outputs); set False to get full
+            autodiff including d/dx.
 
     Returns:
-        [B, num_levels * level_dim] features, level-major like the reference
+        [B, num_levels * C] features, level-major like the reference
         (grid.py:57-58 permutes [L, B, C] -> [B, L*C]).
     """
+    c = embeddings.shape[1]
+    if fast_vjp:
+        return _encode_fast(spec, style, embeddings, x)
+    flat_idx, weights, oob = corner_indices_weights(spec, x, style)
+    return _encode_from_indices(
+        embeddings, flat_idx, weights, oob, x.shape[0], spec.num_levels * c
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPU-optimized custom VJP
+#
+# The naive autodiff backward is an XLA scatter-add of B*L*8 (~33M) rows,
+# which the TPU backend serializes at ~46 ns/row (measured) — seconds per
+# step.  The custom backward instead:
+#
+#   1. sorts the (index, w*g) contribution stream by table row (XLA TPU sort
+#      is fast: ~4 ns/elem measured);
+#   2. collapses duplicate rows with a cumsum + run-boundary difference
+#      (pure vector math);
+#   3. compacts the run ends with a second key-only sort;
+#   4. performs ONE scatter of at most `unique_cap` unique rows.
+#
+# This trades the 33M-row serialized scatter for two sorts + a ~6M-row
+# scatter: ~2.5-3x faster end-to-end, and the only remaining serialized op is
+# proportional to the number of *touched table rows*, not contributions.
+# Numerical note: the run-difference uses a global fp32 cumsum whose error is
+# O(sqrt(K) * eps) relative — far tighter than the reference's fp16 atomicAdd
+# accumulation (gridencoder.cu:313-326).
+# ---------------------------------------------------------------------------
+
+from functools import partial
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _encode_fast(spec: HashGridSpec, style: int, embeddings, x):
+    flat_idx, weights, oob = corner_indices_weights(spec, x, style)
+    return _encode_from_indices(
+        embeddings, flat_idx, weights, oob, x.shape[0], spec.num_levels * embeddings.shape[1]
+    )
+
+
+def _encode_fast_fwd(spec, style, embeddings, x):
+    out = _encode_fast(spec, style, embeddings, x)
+    return out, (jnp.zeros((0,), embeddings.dtype), x)
+
+
+def _encode_fast_bwd(spec, style, res, g):
+    (emb_proto, x) = res
+    emb_dtype = emb_proto.dtype
     b = x.shape[0]
-    oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1)  # [B]
-    corners = jnp.asarray(_CORNERS)  # [8, 3]
+    l = spec.num_levels
+    c = g.shape[-1] // l
+    t = spec.total_params
 
-    all_idx = []
-    all_w = []
-    for lvl in range(spec.num_levels):
-        res = spec.resolutions[lvl]
-        scale = jnp.float32(res)  # align_corners=True: scale = resolution (cu:138)
-        pos = x * scale  # + 0.0 offset (align_corners)
-        pos_grid = jnp.clip(jnp.floor(pos), 0.0, res - 1)  # cu:147 (fminf floor)
-        frac = pos - pos_grid  # [B, 3]
+    flat_idx, weights, oob = corner_indices_weights(spec, x, style)
+    g3 = g.reshape(b, l, c)
+    g3 = jnp.where(oob[:, None, None], 0.0, g3)
+    # contribution values: [B, L, 8, C] = w * g
+    vals = weights[..., None] * g3[:, :, None, :]
 
-        corner_coords = pos_grid[:, None, :].astype(jnp.int32) + corners[None]  # [B, 8, 3]
-        idx = _level_indices(corner_coords, res, spec.table_sizes[lvl], style)
-        all_idx.append(idx + spec.offsets[lvl])
+    k = b * l * 8
+    idx_flat = flat_idx.reshape(k)
+    vals_flat = vals.reshape(k, c).astype(jnp.float32)
 
-        w = jnp.where(corners[None].astype(jnp.float32) == 1.0, frac[:, None, :], 1.0 - frac[:, None, :])
-        all_w.append(jnp.prod(w, axis=-1))  # [B, 8]
+    # 1. sort contributions by table row
+    sorted_arrays = jax.lax.sort(
+        (idx_flat,) + tuple(vals_flat[:, j] for j in range(c)), num_keys=1
+    )
+    idx_s = sorted_arrays[0]
+    vals_s = jnp.stack(sorted_arrays[1:], axis=-1)  # [K, C]
 
-    flat_idx = jnp.stack(all_idx, axis=1)  # [B, L, 8]
-    weights = jnp.stack(all_w, axis=1)  # [B, L, 8]
+    # 2. run totals via cumsum differences at run ends
+    cums = jnp.cumsum(vals_s, axis=0)  # [K, C]
+    is_end = jnp.concatenate([idx_s[1:] != idx_s[:-1], jnp.ones((1,), bool)])
 
-    feats = embeddings[flat_idx]  # [B, L, 8, C] — the one gather
-    out = jnp.sum(weights[..., None] * feats, axis=2)  # [B, L, C]
-    out = jnp.where(oob[:, None, None], 0.0, out)
-    return out.reshape(b, spec.output_dim)
+    # 3. compact run-end positions with a key-only sort
+    unique_cap = min(k, t)
+    pos_keys = jnp.where(is_end, jnp.arange(k, dtype=jnp.int32), jnp.int32(k))
+    pos_sorted = jax.lax.sort(pos_keys)[:unique_cap]
+    valid = pos_sorted < k
+    pos_safe = jnp.minimum(pos_sorted, k - 1)
+
+    end_cums = cums[pos_safe]  # [U, C]
+    prev = jnp.concatenate([jnp.zeros((1, c), jnp.float32), end_cums[:-1]], axis=0)
+    run_totals = jnp.where(valid[:, None], end_cums - prev, 0.0)
+    run_idx = jnp.where(valid, idx_s[pos_safe], t)  # t = dropped
+
+    # 4. one scatter of unique rows
+    d_emb = jnp.zeros((t, c), jnp.float32).at[run_idx].add(
+        run_totals, mode="drop", unique_indices=True, indices_are_sorted=True
+    )
+    return d_emb.astype(emb_dtype), jnp.zeros_like(x)
+
+
+_encode_fast.defvjp(_encode_fast_fwd, _encode_fast_bwd)

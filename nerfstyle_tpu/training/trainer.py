@@ -233,6 +233,10 @@ class Trainer:
         # -- device-resident dataset (TPU-first; see module docstring) --
         self._stage_train_data()
         self._train_step_cache: Dict = {}
+        # Host-side RNG for frame selection: keeps the hot loop free of
+        # blocking device->host fetches (a per-iter int() fetch costs a full
+        # tunnel round trip).
+        self._frame_rng = np.random.default_rng(self.train_cfg.rng_seed ^ 0x5EED)
 
     # ------------------------------------------------------------------
     # setup helpers
@@ -396,8 +400,8 @@ class Trainer:
         self._occ_key, k_occ = jax.random.split(self._occ_key)
         self.renderer.maybe_update_state(self.params, k_occ)
 
-        self._data_key, k_img, k_step = jax.random.split(self._data_key, 3)
-        frame = int(jax.random.randint(k_img, (), 0, len(self.train_set)))
+        self._data_key, k_step = jax.random.split(self._data_key)
+        frame = int(self._frame_rng.integers(0, len(self.train_set)))
 
         step_fn = self._get_train_step()
         (

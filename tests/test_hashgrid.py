@@ -146,12 +146,15 @@ class TestGrad:
             np.testing.assert_allclose(g[i, j], fd, rtol=2e-2, atol=1e-4)
 
     def test_input_grad_matches_fd(self):
+        """Position gradients require the full-autodiff path (fast_vjp=False);
+        the fast path intentionally returns zero d/dx (positions are never
+        differentiated in the render pipeline)."""
         spec = hashgrid_spec(3, 2, 8, per_level_scale=1.7, log2_hashmap_size=10)
         emb = jax.random.normal(jax.random.PRNGKey(2), (spec.total_params, 2)) * 0.1
         x = jnp.asarray([[0.33, 0.41, 0.57]])
 
         def loss(pt):
-            return jnp.sum(hashgrid_encode(spec, emb, pt))
+            return jnp.sum(hashgrid_encode(spec, emb, pt, fast_vjp=False))
 
         g = np.asarray(jax.grad(loss)(x))
         for d in range(3):
@@ -159,6 +162,35 @@ class TestGrad:
             x2 = x.at[0, d].add(h)
             fd = (float(loss(x2)) - float(loss(x))) / h
             np.testing.assert_allclose(g[0, d], fd, rtol=5e-2, atol=1e-3)
+
+    def test_fast_bwd_matches_autodiff(self):
+        """The sort-compact-scatter backward must equal the plain autodiff
+        scatter-add backward."""
+        spec = hashgrid_spec(4, 2, 8, per_level_scale=1.6, log2_hashmap_size=9)
+        emb = hashgrid_init(jax.random.PRNGKey(0), spec)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (777, 3))
+        g_out = jax.random.normal(jax.random.PRNGKey(2), (777, spec.output_dim))
+
+        def loss(e, fast):
+            return jnp.sum(hashgrid_encode(spec, e, x, fast_vjp=fast) * g_out)
+
+        g_fast = np.asarray(jax.grad(lambda e: loss(e, True))(emb))
+        g_slow = np.asarray(jax.grad(lambda e: loss(e, False))(emb))
+        np.testing.assert_allclose(g_fast, g_slow, rtol=1e-3, atol=5e-5)
+
+    def test_fast_bwd_fused_channels(self):
+        """Backward also correct for a fused [T, 4] operand (dual-encoder)."""
+        spec = hashgrid_spec(3, 2, 8, per_level_scale=1.5, log2_hashmap_size=9)
+        emb4 = jax.random.normal(jax.random.PRNGKey(3), (spec.total_params, 4)) * 0.01
+        x = jax.random.uniform(jax.random.PRNGKey(4), (123, 3))
+        g_out = jax.random.normal(jax.random.PRNGKey(5), (123, spec.num_levels * 4))
+
+        def loss(e, fast):
+            return jnp.sum(hashgrid_encode(spec, e, x, fast_vjp=fast) * g_out)
+
+        g_fast = np.asarray(jax.grad(lambda e: loss(e, True))(emb4))
+        g_slow = np.asarray(jax.grad(lambda e: loss(e, False))(emb4))
+        np.testing.assert_allclose(g_fast, g_slow, rtol=1e-3, atol=5e-5)
 
     def test_grad_deterministic(self):
         """Unlike the CUDA atomicAdd backward, grads are bit-reproducible."""

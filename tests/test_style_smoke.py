@@ -1,0 +1,118 @@
+"""Style-stage end-to-end smoke: recon ckpt -> stylization -> render chain.
+
+Covers the reference's two-stage workflow (SURVEY.md section 3.2): checkpoint
+interop, color-only optimization, deferred backprop, semantic matching.
+"""
+
+import shutil
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def recon_ckpt(tmp_path_factory):
+    """Short reconstruction run that produces a checkpoint."""
+    from nerfstyle_tpu.config import BaseConfig
+    from nerfstyle_tpu.data.synthetic import generate_scene
+    from nerfstyle_tpu.training.trainer import Trainer
+
+    root = tmp_path_factory.mktemp("style_smoke")
+    data_root = root / "scene"
+    generate_scene(data_root, num_train=4, num_test=2, h=48, w=64)
+    data_cfg = root / "data.yaml"
+    data_cfg.write_text(f"root_path: {data_root}\ntype: Synthetic\nbound: 2.0\nscale: 1.0\n")
+
+    log_dir = root / "recon_logs"
+    cfg = BaseConfig(log_dir=log_dir, data_cfg=data_cfg)
+    tiny = [
+        "--num_iterations", "20",
+        "--num_rays_per_batch", "128",
+        "--pos_enc.n_lvls", "4",
+        "--pos_enc.hashmap_size", "11",
+        "--pos_enc.max_res_coeff", "8",
+        "--grid_size", "16",
+        "--max_steps", "64",
+        "--max_samples_per_ray", "32",
+        "--update_thres", "2",
+        "--max_eval_count", "1",
+        "--intervals.print", "0",
+        "--intervals.log", "0",
+        "--intervals.test", "0",
+        "--intervals.ckpt", "0",
+        "--enable_amp",
+    ]
+    trainer = Trainer(cfg, list(tiny))
+    for _ in range(12):
+        trainer.run_iter()
+    trainer.save_ckpt()
+    ckpt = sorted(log_dir.glob("*.ckpt"))[-1]
+
+    # Style assets: a gradient "painting" + 4 style clusters.
+    from nerfstyle_tpu import utils
+
+    h, w = 40, 56
+    yy, xx = np.meshgrid(np.linspace(0, 1, h), np.linspace(0, 1, w), indexing="ij")
+    style_img = np.stack([yy, xx, 1 - yy], axis=-1).astype(np.float32)
+    style_path = root / "style.png"
+    utils.save_image(style_img, style_path)
+
+    seg = (yy > 0.5).astype(np.int64) * 2 + (xx > 0.5).astype(np.int64)  # 4 quadrants
+    seg_path = root / "style_seg.npz"
+    np.savez(seg_path, seg_map=seg)
+
+    yield root, data_cfg, ckpt, style_path, seg_path, tiny
+    shutil.rmtree(root, ignore_errors=True)
+
+
+class TestStyleStage:
+    def test_style_trainer_runs_and_touches_only_color(self, recon_ckpt):
+        root, data_cfg, ckpt, style_path, seg_path, tiny = recon_ckpt
+        from nerfstyle_tpu.config import BaseConfig
+        from nerfstyle_tpu.training.style_trainer import StyleTrainer
+
+        cfg = BaseConfig(
+            log_dir=root / "style_logs", data_cfg=data_cfg,
+            ckpt=ckpt, style_image=style_path,
+        )
+        nargs = list(tiny) + [
+            "--style_seg_path", str(seg_path),
+            "--defer_patch_size", "32",
+            "--test_before_train",  # toggles default true -> false
+        ]
+        st = StyleTrainer(cfg, nargs)
+        assert st.train_cfg.initial_learning_rate == 0.1  # style.yaml applied
+
+        import jax.numpy as jnp
+
+        density_before = np.asarray(st.params["x_density_embedder"]).copy()
+        color_before = np.asarray(st.params["x_color_embedder"]).copy()
+
+        st.run_iter()
+        st.run_iter()
+
+        density_after = np.asarray(st.params["x_density_embedder"])
+        color_after = np.asarray(st.params["x_color_embedder"])
+        np.testing.assert_array_equal(density_before, density_after)
+        assert np.abs(color_after - color_before).max() > 0
+        assert st.style_loss.matching is not None
+
+    def test_render_cli_from_ckpt(self, recon_ckpt, monkeypatch, capsys):
+        root, data_cfg, ckpt, *_ = recon_ckpt
+        import sys
+
+        out_dir = root / "render_out"
+        monkeypatch.setattr(
+            sys, "argv",
+            ["render.py", str(ckpt), "--out-dir", str(out_dir), "--max-count", "1"],
+        )
+        import render
+
+        render.main()
+        pngs = list(out_dir.glob("*.png"))
+        assert len(pngs) == 1
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q", "-x"])
