@@ -173,6 +173,97 @@ def warp_ndc(rays: RayBundle, near: float, intr: Intrinsics) -> RayBundle:
     return make_rays(new_origins, new_dirs)
 
 
+class RotatedBBox(NamedTuple):
+    """8-corner oriented bounding box with face-normal containment test
+    (reference: common.py:298-345; unused in the reference's main path, kept
+    for capability parity).
+
+    Corner convention: top face clockwise v0-v3, bottom face clockwise v4-v7,
+    v3 above v4.
+    """
+
+    pts: jnp.ndarray  # [8, 3]
+    face_origins: jnp.ndarray  # [6, 3]
+    face_normals: jnp.ndarray  # [6, 3]
+
+    @classmethod
+    def from_corners(cls, pts: np.ndarray) -> "RotatedBBox":
+        assert pts.shape == (8, 3)
+        faces = np.array(
+            [[0, 1, 2], [4, 3, 2], [5, 2, 1], [6, 1, 0], [7, 0, 3], [4, 5, 6]]
+        )
+        p0, p1, p2 = pts[faces[:, 0]], pts[faces[:, 1]], pts[faces[:, 2]]
+        normals = np.cross(p1 - p0, p2 - p0)
+        return cls(
+            pts=jnp.asarray(pts, jnp.float32),
+            face_origins=jnp.asarray(p0, jnp.float32),
+            face_normals=jnp.asarray(normals, jnp.float32),
+        )
+
+    @property
+    def min_pt(self) -> jnp.ndarray:
+        return jnp.min(self.pts, axis=0)
+
+    @property
+    def max_pt(self) -> jnp.ndarray:
+        return jnp.max(self.pts, axis=0)
+
+    def contains(self, pts: jnp.ndarray, outside: bool = False) -> jnp.ndarray:
+        """A point is inside iff every reference face faces it (common.py:334-345)."""
+        vecs = pts[:, None, :] - self.face_origins[None]  # [N, 6, 3]
+        dots = jnp.einsum("nfc,fc->nf", vecs, self.face_normals)
+        if outside:
+            return jnp.any(dots <= 0, axis=-1)
+        return jnp.all(dots > 0, axis=-1)
+
+
+class VoxelOccupancyMap(NamedTuple):
+    """Standalone boolean voxel-map lookup (reference OccupancyGrid,
+    common.py:348-396; unused in the main path — the Renderer keeps its own
+    cascaded grid — provided for capability parity, e.g. externally supplied
+    occupancy volumes)."""
+
+    grid_flat: jnp.ndarray  # [res0*res1*res2 + 1] bool; last entry = False
+    global_min_pt: jnp.ndarray  # [3]
+    global_max_pt: jnp.ndarray  # [3]
+    res: jnp.ndarray  # [3] float
+
+    @classmethod
+    def from_dense(cls, grid: np.ndarray, min_pt, max_pt) -> "VoxelOccupancyMap":
+        flat = np.append(grid.reshape(-1).astype(bool), False)
+        return cls(
+            grid_flat=jnp.asarray(flat),
+            global_min_pt=jnp.asarray(min_pt, jnp.float32),
+            global_max_pt=jnp.asarray(max_pt, jnp.float32),
+            res=jnp.asarray(grid.shape, jnp.float32),
+        )
+
+    @classmethod
+    def load(cls, path) -> "VoxelOccupancyMap":
+        data = np.load(path)
+        return cls.from_dense(data["map"], data["global_min_pt"], data["global_max_pt"])
+
+    @property
+    def voxel_size(self) -> jnp.ndarray:
+        return (self.global_max_pt - self.global_min_pt) / self.res
+
+    def pts_to_indices(self, pts: jnp.ndarray) -> jnp.ndarray:
+        return jnp.floor((pts - self.global_min_pt) / self.voxel_size).astype(jnp.int32)
+
+    def query(self, pts: jnp.ndarray, epsilon: float = 1e-5) -> jnp.ndarray:
+        invalid = jnp.any(
+            (pts >= self.global_max_pt - epsilon) | (pts < self.global_min_pt + epsilon),
+            axis=-1,
+        )
+        idx3 = self.pts_to_indices(pts)
+        basis = jnp.asarray(
+            [self.res[2] * self.res[1], self.res[2], 1.0], jnp.float32
+        ).astype(jnp.int32)
+        lin = jnp.sum(idx3 * basis, axis=-1)
+        lin = jnp.where(invalid, self.grid_flat.shape[0] - 1, lin)
+        return self.grid_flat[lin]
+
+
 class BBox(NamedTuple):
     """Axis-aligned scene bounding box as a pytree (reference: common.py:243-295)."""
 

@@ -227,6 +227,93 @@ def save_gif(frames: List[np.ndarray], path: Union[str, Path], fps: float = 3.75
     )
 
 
+def batch_exec(fn, *out_buffers, bsize: int):
+    """Generic chunked execution into preallocated output buffers
+    (reference utils.batch_exec, utils/__init__.py:181-259).
+
+    The TPU render path prefers static-shape chunking under jit; this host
+    helper remains for large ad-hoc evaluations.  ``fn(chunk...) -> tuple``
+    fills ``out_buffers`` slice by slice (numpy arrays).
+    """
+
+    def runner(*inputs):
+        n = len(inputs[0])
+        for start in range(0, n, bsize):
+            sl = slice(start, min(start + bsize, n))
+            res = fn(*[inp[sl] for inp in inputs])
+            if not isinstance(res, tuple):
+                res = (res,)
+            for buf, r in zip(out_buffers, res):
+                buf[sl] = np.asarray(r)
+        return out_buffers if len(out_buffers) > 1 else out_buffers[0]
+
+    return runner
+
+
+def format_bytes(bytes_count: int, unit: str = "B", prec: int = 3) -> str:
+    """(utils/__init__.py:356-371)"""
+    units = {"B": 0, "KB": 1, "MB": 2, "GB": 3}
+    assert unit in units
+    return f"{bytes_count / (1024 ** units[unit]):.{prec}f}{unit}"
+
+
+def print_memory_usage(desc: str, unit: str = "MB") -> None:
+    """Device-memory probe (reference print_memory_usage,
+    utils/__init__.py:444-464, which reads CUDA allocator stats)."""
+    import jax
+
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        used = format_bytes(stats.get("bytes_in_use", 0), unit)
+        peak = format_bytes(stats.get("peak_bytes_in_use", 0), unit)
+        print(f"{desc}: In use - {used}, Peak - {peak}")
+    except Exception:
+        print(f"{desc}: device memory stats unavailable")
+
+
+def color_str2rgb(color: str):
+    """Named color -> RGB floats (utils/__init__.py:297-302).  Uses matplotlib
+    when available, else a minimal built-in table."""
+    try:
+        import matplotlib.colors as mcolors
+
+        return mcolors.to_rgb(color)
+    except ImportError:
+        table = {
+            "white": (1.0, 1.0, 1.0), "black": (0.0, 0.0, 0.0),
+            "red": (1.0, 0.0, 0.0), "green": (0.0, 0.5, 0.0),
+            "blue": (0.0, 0.0, 1.0), "gray": (0.5, 0.5, 0.5),
+        }
+        assert color in table, f'Invalid color "{color}"'
+        return table[color]
+
+
+class loader:
+    """Decorator mapping missing/invalid data files to logged errors
+    (reference utils.loader, utils/__init__.py:403-418)."""
+
+    def __init__(self, logger=None):
+        self.logger = logger
+
+    def __call__(self, fn):
+        def wrapped(path, *args, **kwargs):
+            p = Path(path)
+            msg = None
+            if not p.exists():
+                msg = f'Path "{p}" does not exist'
+            else:
+                try:
+                    return fn(path, *args, **kwargs)
+                except (OSError, KeyError, ValueError) as e:
+                    msg = f'Failed loading "{p}": {e}'
+            if self.logger is not None:
+                self.logger.error(msg)
+            else:
+                raise FileNotFoundError(msg)
+
+        return wrapped
+
+
 def cycle(iterable: Iterable):
     """Infinite dataset cycling (utils/__init__.py:346-349)."""
     while True:
