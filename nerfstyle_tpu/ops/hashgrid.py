@@ -124,14 +124,69 @@ _CORNERS = np.array(
 )
 
 
+def _all_levels_hashed(spec: HashGridSpec, style: int) -> bool:
+    """Static check: does every level take the fast_hash path?  True for all
+    practical configs (the dense path needs (res+1)^3 * 512 <= table, see
+    module docstring); tiny test grids may differ."""
+    for lvl in range(spec.num_levels):
+        res, table = spec.resolutions[lvl], spec.table_sizes[lvl]
+        stride = 1
+        for _d in range(3):
+            if stride <= table:
+                stride *= res + 1
+        if stride <= table:
+            stride *= _MAX_STYLES
+        if not stride > table:
+            return False
+    return True
+
+
 def corner_indices_weights(spec: HashGridSpec, x: jnp.ndarray, style: int = 0):
     """All-level corner table indices and trilinear weights.
 
     Returns (flat_idx [B, L, 8] i32 into the flat table, weights [B, L, 8],
     oob [B] bool).  Pure int/elementwise math — cheap to recompute in the
     backward pass instead of saving 134 MB of indices as residuals.
+
+    When every level takes the hash path (all practical configs), the level
+    loop is fully vectorized into one [B, L, 8, 3] tensor expression — a ~16x
+    smaller HLO graph than the per-level unroll, which matters for both
+    compile time (the remote TPU compiler) and kernel fusion.
     """
     corners = jnp.asarray(_CORNERS)
+    oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1)
+
+    if _all_levels_hashed(spec, style):
+        scales = jnp.asarray(np.array(spec.resolutions, np.float32))  # [L]
+        res_i = jnp.asarray(np.array(spec.resolutions, np.int32))
+        tables = jnp.asarray(np.array(spec.table_sizes, np.uint32))
+        offsets = jnp.asarray(np.array(spec.offsets[:-1], np.int32))
+
+        pos = x[:, None, :] * scales[None, :, None]  # [B, L, 3]
+        pos_grid = jnp.clip(
+            jnp.floor(pos), 0.0, (res_i - 1)[None, :, None].astype(jnp.float32)
+        )
+        frac = pos - pos_grid
+
+        cc = pos_grid[:, :, None, :].astype(jnp.uint32) + corners[None, None].astype(
+            jnp.uint32
+        )  # [B, L, 8, 3]
+        h = (
+            cc[..., 0] * jnp.uint32(_PRIMES[0])
+            ^ cc[..., 1] * jnp.uint32(_PRIMES[1])
+            ^ cc[..., 2] * jnp.uint32(_PRIMES[2])
+            ^ jnp.uint32((style * _PRIMES[3]) & 0xFFFFFFFF)
+        )
+        flat_idx = (h % tables[None, :, None]).astype(jnp.int32) + offsets[None, :, None]
+
+        w = jnp.where(
+            corners[None, None].astype(jnp.float32) == 1.0,
+            frac[:, :, None, :],
+            1.0 - frac[:, :, None, :],
+        )
+        weights = jnp.prod(w, axis=-1)  # [B, L, 8]
+        return flat_idx, weights, oob
+
     all_idx, all_w = [], []
     for lvl in range(spec.num_levels):
         res = spec.resolutions[lvl]
@@ -153,7 +208,6 @@ def corner_indices_weights(spec: HashGridSpec, x: jnp.ndarray, style: int = 0):
 
     flat_idx = jnp.stack(all_idx, axis=1)
     weights = jnp.stack(all_w, axis=1)
-    oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1)
     return flat_idx, weights, oob
 
 

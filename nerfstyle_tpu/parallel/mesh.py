@@ -126,10 +126,12 @@ def build_sharded_render_loss(
         check_vma=False,
     )
 
-    def loss(params, bitfield, bbox, origins, dirs, targets):
-        return sharded(params, bitfield, bbox, origins, dirs, targets)
-
-    return loss
+    # jit is load-bearing, not just a speedup: eager shard_map transposition
+    # (jax.grad of the bare shard_map call) trips an XLA sharding-override
+    # assert on JAX 0.9 when inputs are uncommitted; under jit the partial
+    # eval + transpose happen inside one lowering and placement is inferred
+    # consistently.
+    return jax.jit(sharded)
 
 
 def build_sharded_train_step(
