@@ -20,10 +20,12 @@ Semantics replicated exactly:
     table), but the dense path is implemented for exactness at tiny sizes;
   * out-of-[0,1] inputs produce zero features (gridencoder.cu:109-132).
 
-TPU-first design: all L levels are evaluated as one batched gather
-``[B, L, 8] -> [B, L, 8, C]`` from a single flat parameter table, followed by a
-trilinear weighted reduction — XLA fuses the index arithmetic and the
-reduction around a single gather HLO.  Gradients (embedding scatter-add *and*
+TPU-first design: all L levels are evaluated as one batched *element* gather
+``[B, 8*L*C]`` from the flattened parameter table in a corner-major flat
+domain (see the layout note above ``_flat_plan``), followed by eight
+contiguous slice-adds for the trilinear reduction — XLA fuses the index
+arithmetic and the reduction around a single gather HLO, and no materialized
+tensor carries a sub-128 minor dimension.  Gradients (embedding scatter-add *and*
 the input Jacobian) come from JAX autodiff: the forward is written as pure
 gather/mul/sum, whose transpose is exactly the scatter-add the CUDA backward
 hand-implements (gridencoder.cu:239-328) — and deterministic, unlike the
@@ -245,10 +247,97 @@ def _level_indices(
 
 
 def _encode_from_indices(embeddings, flat_idx, weights, oob, b, out_dim):
-    feats = embeddings[flat_idx]  # [B, L, 8, C] — the one gather
+    """Dense/tiny-grid fallback gather (rank-4 intermediates — fine at the
+    tiny sizes where the non-hash path can occur, never on the hot path)."""
+    feats = embeddings[flat_idx]  # [B, L, 8, C]
     out = jnp.sum(weights[..., None] * feats, axis=2)  # [B, L, C]
     out = jnp.where(oob[:, None, None], 0.0, out)
     return out.reshape(b, out_dim)
+
+
+# ---------------------------------------------------------------------------
+# Flat-domain hashed encoding
+#
+# TPU layout note: materialized tensors are tiled (8, 128) on their two minor
+# dims, so any tensor shaped [..., 8, C] or [..., C] with C=2 pads its lanes
+# to 128 — observed as a 1 GB gather intermediate padding to 16 GB and OOMing
+# the chip.  The hot path therefore never builds a rank>2 tensor: every
+# quantity lives in a flat [B, N] domain with N = 8*L*C (2048 for the default
+# L=16, C=2 — exactly 16 lanes x 128), where column j decomposes as
+#
+#   corner = j // (L*C)   (corner-major so the trilerp reduction is 8
+#   l      = (j % (L*C)) // C            contiguous slice-adds)
+#   ch     = j % C
+#
+# and all per-column level constants (scale, table size, offset, corner bits)
+# are compile-time numpy vectors baked into the graph.  The output column
+# order (l*C + ch) is exactly the reference's level-major [B, L*C] layout.
+# ---------------------------------------------------------------------------
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _flat_plan(spec: HashGridSpec, c: int, style: int):
+    l = spec.num_levels
+    n = 8 * l * c
+    j = np.arange(n)
+    corner = j // (l * c)
+    lvl = (j % (l * c)) // c
+    ch = j % c
+    bits = _CORNERS[corner]  # [N, 3]
+    return {
+        "n": n,
+        "scale": np.array(spec.resolutions, np.float32)[lvl],  # [N]
+        "resm1": (np.array(spec.resolutions, np.float32) - 1.0)[lvl],
+        "table": np.array(spec.table_sizes, np.uint32)[lvl],
+        "offset": np.array(spec.offsets[:-1], np.int64)[lvl],
+        "ch": ch.astype(np.int64),
+        "bits": [bits[:, d].astype(np.float32) for d in range(3)],
+        "style_xor": np.uint32((style * _PRIMES[3]) & 0xFFFFFFFF),
+    }
+
+
+def _flat_corners(spec: HashGridSpec, c: int, style: int, x):
+    """Flat-domain element indices + trilerp weights.
+
+    Returns (elem [B, N] i32 indices into the flattened [T*C] table,
+    w [B, N] f32, oob [B] bool).  Pure elementwise math from constant
+    vectors — cheap to recompute in the backward instead of saving residuals.
+    """
+    p = _flat_plan(spec, c, style)
+    oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1)
+
+    h = jnp.zeros((x.shape[0], p["n"]), jnp.uint32)
+    w = jnp.ones((x.shape[0], p["n"]), jnp.float32)
+    scale = jnp.asarray(p["scale"])
+    resm1 = jnp.asarray(p["resm1"])
+    for d in range(3):
+        pos = x[:, d : d + 1] * scale[None]  # [B, N]
+        pg = jnp.clip(jnp.floor(pos), 0.0, resm1[None])
+        frac = pos - pg
+        bit = jnp.asarray(p["bits"][d])[None]
+        w = w * (bit * frac + (1.0 - bit) * (1.0 - frac))
+        cc = pg.astype(jnp.uint32) + jnp.asarray(p["bits"][d], np.uint32)[None]
+        h = h ^ (cc * jnp.uint32(_PRIMES[d]))
+    h = h ^ p["style_xor"]
+    row = (h % jnp.asarray(p["table"])[None]).astype(jnp.int32) + jnp.asarray(
+        p["offset"], jnp.int32
+    )[None]
+    elem = row * c + jnp.asarray(p["ch"], jnp.int32)[None]
+    return elem, w, oob
+
+
+def _encode_flat(spec: HashGridSpec, style: int, embeddings, x):
+    """All-hashed-levels forward in the flat [B, N] domain -> [B, L*C]."""
+    c = embeddings.shape[1]
+    lc = spec.num_levels * c
+    elem, w, oob = _flat_corners(spec, c, style, x)
+    val = embeddings.reshape(-1)[elem] * w  # [B, N]
+    out = val[:, :lc]
+    for k in range(1, 8):  # corner-major: trilerp = 8 contiguous slice-adds
+        out = out + val[:, k * lc : (k + 1) * lc]
+    return jnp.where(oob[:, None], 0.0, out)
 
 
 def hashgrid_encode(
@@ -316,6 +405,8 @@ from functools import partial
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _encode_fast(spec: HashGridSpec, style: int, embeddings, x):
+    if _all_levels_hashed(spec, style):
+        return _encode_flat(spec, style, embeddings, x)
     flat_idx, weights, oob = corner_indices_weights(spec, x, style)
     return _encode_from_indices(
         embeddings, flat_idx, weights, oob, x.shape[0], spec.num_levels * embeddings.shape[1]
@@ -335,44 +426,47 @@ def _encode_fast_bwd(spec, style, res, g):
     c = g.shape[-1] // l
     t = spec.total_params
 
-    flat_idx, weights, oob = corner_indices_weights(spec, x, style)
-    g3 = g.reshape(b, l, c)
-    g3 = jnp.where(oob[:, None, None], 0.0, g3)
-    # contribution values: [B, L, 8, C] = w * g
-    vals = weights[..., None] * g3[:, :, None, :]
+    if _all_levels_hashed(spec, style):
+        elem, w, oob = _flat_corners(spec, c, style, x)
+    else:
+        flat_idx, weights, oob = corner_indices_weights(spec, x, style)
+        # Rearrange to the corner-major flat domain (tiny grids only).
+        elem = (flat_idx[..., None] * c + jnp.arange(c)).transpose(0, 2, 1, 3)
+        elem = elem.reshape(b, 8 * l * c).astype(jnp.int32)
+        w = jnp.repeat(
+            weights.transpose(0, 2, 1).reshape(b, 8 * l), c, axis=-1
+        )
+    g2 = jnp.where(oob[:, None], 0.0, g.reshape(b, l * c))
+    # Per-ELEMENT contribution stream: val[b, (corner, l, ch)] =
+    # w[b, (corner, l)] * g[b, (l, ch)] — corner-major, so g just tiles.
+    vals_flat = (w * jnp.tile(g2, (1, 8))).reshape(-1).astype(jnp.float32)
+    idx_flat = elem.reshape(-1)
+    k = b * 8 * l * c
 
-    k = b * l * 8
-    idx_flat = flat_idx.reshape(k)
-    vals_flat = vals.reshape(k, c).astype(jnp.float32)
-
-    # 1. sort contributions by table row
-    sorted_arrays = jax.lax.sort(
-        (idx_flat,) + tuple(vals_flat[:, j] for j in range(c)), num_keys=1
-    )
-    idx_s = sorted_arrays[0]
-    vals_s = jnp.stack(sorted_arrays[1:], axis=-1)  # [K, C]
+    # 1. sort contributions by table element
+    idx_s, vals_s = jax.lax.sort((idx_flat, vals_flat), num_keys=1)
 
     # 2. run totals via cumsum differences at run ends
-    cums = jnp.cumsum(vals_s, axis=0)  # [K, C]
+    cums = jnp.cumsum(vals_s)  # [K]
     is_end = jnp.concatenate([idx_s[1:] != idx_s[:-1], jnp.ones((1,), bool)])
 
     # 3. compact run-end positions with a key-only sort
-    unique_cap = min(k, t)
+    unique_cap = min(k, t * c)
     pos_keys = jnp.where(is_end, jnp.arange(k, dtype=jnp.int32), jnp.int32(k))
     pos_sorted = jax.lax.sort(pos_keys)[:unique_cap]
     valid = pos_sorted < k
     pos_safe = jnp.minimum(pos_sorted, k - 1)
 
-    end_cums = cums[pos_safe]  # [U, C]
-    prev = jnp.concatenate([jnp.zeros((1, c), jnp.float32), end_cums[:-1]], axis=0)
-    run_totals = jnp.where(valid[:, None], end_cums - prev, 0.0)
-    run_idx = jnp.where(valid, idx_s[pos_safe], t)  # t = dropped
+    end_cums = cums[pos_safe]  # [U]
+    prev = jnp.concatenate([jnp.zeros((1,), jnp.float32), end_cums[:-1]])
+    run_totals = jnp.where(valid, end_cums - prev, 0.0)
+    run_idx = jnp.where(valid, idx_s[pos_safe], t * c)  # t*c = dropped
 
-    # 4. one scatter of unique rows
-    d_emb = jnp.zeros((t, c), jnp.float32).at[run_idx].add(
+    # 4. one scatter of unique elements into the flat table
+    d_emb = jnp.zeros((t * c,), jnp.float32).at[run_idx].add(
         run_totals, mode="drop", unique_indices=True, indices_are_sorted=True
     )
-    return d_emb.astype(emb_dtype), jnp.zeros_like(x)
+    return d_emb.reshape(t, c).astype(emb_dtype), jnp.zeros_like(x)
 
 
 _encode_fast.defvjp(_encode_fast_fwd, _encode_fast_bwd)

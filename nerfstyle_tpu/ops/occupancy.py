@@ -16,9 +16,9 @@ Design differences (deliberate, layout-only):
     to HBM capacity.  ``packbits``/``unpackbits`` convert to the packed uint8
     format for compact checkpoints and reference interop.
   * Updates are jitted pure functions of an :class:`OccupancyState` pytree; the
-    occupied-cell resampling uses ``jax.random.categorical`` over the >0 mask
-    instead of host-side ``nonzero`` (renderer.py:171-175), keeping the whole
-    update on device.
+    occupied-cell resampling draws via inverse-CDF (cumsum + searchsorted) over
+    the >0 mask instead of host-side ``nonzero`` (renderer.py:171-175), keeping
+    the whole update on device with O(n) memory.
 """
 
 from __future__ import annotations
@@ -138,13 +138,16 @@ def occupancy_update_random(
     density_scale: float,
     density_decay: float,
     density_thresh: float,
+    chunk: int = 64 * 64 * 64,
 ) -> OccupancyState:
     """Random update: H**3/4 uniform cells + as many resampled occupied cells
-    per cascade (renderer.py:163-181).
+    per cascade (renderer.py:163-181).  ``chunk`` bounds points per model call
+    (at H=128 the batch is 2*H**3/4 = 1M points — unchunked, the encoder
+    gather intermediates alone exceed HBM).
 
     The occupied resampling draws uniformly over currently-positive cells via
-    ``jax.random.categorical`` on a masked uniform logit — equivalent in
-    distribution to the reference's nonzero + randint, but shape-static.
+    inverse-CDF sampling on the binary mask — equivalent in distribution to the
+    reference's nonzero + randint, but shape-static and on-device.
     """
     cascade, n = state.density_grid.shape
     grid_size = round(n ** (1 / 3))
@@ -155,11 +158,17 @@ def occupancy_update_random(
         unif_coords = jax.random.randint(k_unif, (num, 3), 0, grid_size, jnp.int32)
         unif_idx = cell_linear_index(unif_coords, grid_size)
 
+        # Uniform draw over currently-occupied cells via inverse-CDF on the
+        # binary mask: cumsum + searchsorted is O(n) memory, where categorical
+        # would materialize [num, n] gumbel noise (4 TB at H=128, num=H^3/4).
         occ_mask = state.density_grid[cas] > 0
-        # Guard: if nothing is occupied yet, fall back to uniform logits.
-        any_occ = jnp.any(occ_mask)
-        logits = jnp.where(occ_mask | ~any_occ, 0.0, -jnp.inf)
-        occ_idx = jax.random.categorical(k_occ, logits, shape=(num,)).astype(jnp.int32)
+        any_occ = jnp.any(occ_mask)  # guard: all-empty grid -> uniform draw
+        weights = jnp.where(any_occ, occ_mask.astype(jnp.float32), 1.0)
+        cdf = jnp.cumsum(weights)
+        u = jax.random.uniform(k_occ, (num,)) * cdf[-1]
+        occ_idx = jnp.clip(
+            jnp.searchsorted(cdf, u, side="right"), 0, n - 1
+        ).astype(jnp.int32)
         occ_coords = jnp.stack(
             [occ_idx // (grid_size * grid_size), (occ_idx // grid_size) % grid_size,
              occ_idx % grid_size],
@@ -169,8 +178,11 @@ def occupancy_update_random(
         idx = jnp.concatenate([unif_idx, occ_idx])
         coords = jnp.concatenate([unif_coords, occ_coords])
         pts = cells_to_cascade_points(coords, cas, grid_size, bound, k_jit)
-        sig = sigma_fn(pts) * density_scale
-        return idx, sig
+        ck = min(chunk, 2 * num)
+        while (2 * num) % ck != 0:
+            ck //= 2
+        sig = jax.lax.map(sigma_fn, pts.reshape(-1, ck, 3)).reshape(-1)
+        return idx, sig * density_scale
 
     tmp = -jnp.ones_like(state.density_grid)
     keys = jax.random.split(key, cascade)
