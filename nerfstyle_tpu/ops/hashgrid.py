@@ -280,11 +280,10 @@ from functools import lru_cache
 @lru_cache(maxsize=None)
 def _flat_plan(spec: HashGridSpec, c: int, style: int):
     l = spec.num_levels
-    n = 8 * l * c
+    n = 8 * l  # one column per (corner, level) ROW of the table
     j = np.arange(n)
-    corner = j // (l * c)
-    lvl = (j % (l * c)) // c
-    ch = j % c
+    corner = j // l
+    lvl = j % l
     bits = _CORNERS[corner]  # [N, 3]
     return {
         "n": n,
@@ -292,18 +291,23 @@ def _flat_plan(spec: HashGridSpec, c: int, style: int):
         "resm1": (np.array(spec.resolutions, np.float32) - 1.0)[lvl],
         "table": np.array(spec.table_sizes, np.uint32)[lvl],
         "offset": np.array(spec.offsets[:-1], np.int64)[lvl],
-        "ch": ch.astype(np.int64),
         "bits": [bits[:, d].astype(np.float32) for d in range(3)],
         "style_xor": np.uint32((style * _PRIMES[3]) & 0xFFFFFFFF),
     }
 
 
 def _flat_corners(spec: HashGridSpec, c: int, style: int, x):
-    """Flat-domain element indices + trilerp weights.
+    """Flat-domain corner ROW indices + trilerp weights.
 
-    Returns (elem [B, N] i32 indices into the flattened [T*C] table,
-    w [B, N] f32, oob [B] bool).  Pure elementwise math from constant
-    vectors — cheap to recompute in the backward instead of saving residuals.
+    Returns (rows [B, NL] i32 table-row indices, w [B, NL] f32, oob [B]
+    bool) where NL = 8 * num_levels, column j = (corner j // L, level j % L).
+    Pure elementwise math from constant vectors — cheap to recompute in the
+    backward instead of saving residuals.
+
+    Gather-granularity note (measured on v5e): XLA's TPU gather costs ~13 ns
+    per gathered ROW regardless of row width, but ~60 ns per scalar ELEMENT.
+    The encoder therefore always gathers whole [C]-channel rows from the
+    [T, C] table and never expands to the per-element domain.
     """
     p = _flat_plan(spec, c, style)
     oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1)
@@ -313,7 +317,7 @@ def _flat_corners(spec: HashGridSpec, c: int, style: int, x):
     scale = jnp.asarray(p["scale"])
     resm1 = jnp.asarray(p["resm1"])
     for d in range(3):
-        pos = x[:, d : d + 1] * scale[None]  # [B, N]
+        pos = x[:, d : d + 1] * scale[None]  # [B, NL]
         pg = jnp.clip(jnp.floor(pos), 0.0, resm1[None])
         frac = pos - pg
         bit = jnp.asarray(p["bits"][d])[None]
@@ -321,22 +325,36 @@ def _flat_corners(spec: HashGridSpec, c: int, style: int, x):
         cc = pg.astype(jnp.uint32) + jnp.asarray(p["bits"][d], np.uint32)[None]
         h = h ^ (cc * jnp.uint32(_PRIMES[d]))
     h = h ^ p["style_xor"]
-    row = (h % jnp.asarray(p["table"])[None]).astype(jnp.int32) + jnp.asarray(
+    rows = (h % jnp.asarray(p["table"])[None]).astype(jnp.int32) + jnp.asarray(
         p["offset"], jnp.int32
     )[None]
-    elem = row * c + jnp.asarray(p["ch"], jnp.int32)[None]
-    return elem, w, oob
+    return rows, w, oob
 
 
 def _encode_flat(spec: HashGridSpec, style: int, embeddings, x):
-    """All-hashed-levels forward in the flat [B, N] domain -> [B, L*C]."""
+    """All-hashed-levels forward via one row gather -> [B, L*C].
+
+    K = B * 8L rows ordered corner-major (corner, b, l): the trilerp
+    reduction is then 8 contiguous row-block adds of the gathered [K, C]
+    values — no rank>2 intermediate, no sub-128-lane tensor other than the
+    packed gather output itself (which XLA keeps in a linear layout).
+    """
+    b = x.shape[0]
     c = embeddings.shape[1]
-    lc = spec.num_levels * c
-    elem, w, oob = _flat_corners(spec, c, style, x)
-    val = embeddings.reshape(-1)[elem] * w  # [B, N]
-    out = val[:, :lc]
-    for k in range(1, 8):  # corner-major: trilerp = 8 contiguous slice-adds
-        out = out + val[:, k * lc : (k + 1) * lc]
+    l = spec.num_levels
+    bl = b * l
+    rows, w, oob = _flat_corners(spec, c, style, x)  # [B, 8L] corner-major cols
+    # Stream ordered k = (corner, b, l); the transposes fuse into the 1-D
+    # packed gather-index computation, so nothing rank-3 materializes.
+    rows_k = rows.reshape(b, 8, l).transpose(1, 0, 2).reshape(-1)
+    w_k = w.reshape(b, 8, l).transpose(1, 0, 2).reshape(-1)
+    vals = jnp.take(embeddings, rows_k, axis=0)  # [K, C] one row gather
+    vals = vals * w_k[:, None]
+    out_bl = vals[:bl]
+    for k in range(1, 8):  # corner-major: 8 contiguous row-block adds
+        out_bl = out_bl + vals[k * bl : (k + 1) * bl]
+    # out_bl rows ordered (b, l) -> [B, L*C] level-major per point
+    out = out_bl.reshape(b, l * c)
     return jnp.where(oob[:, None], 0.0, out)
 
 
@@ -382,19 +400,20 @@ def hashgrid_encode(
 # TPU-optimized custom VJP
 #
 # The naive autodiff backward is an XLA scatter-add of B*L*8 (~33M) rows,
-# which the TPU backend serializes at ~46 ns/row (measured) — seconds per
+# which the TPU backend serializes at ~12-46 ns/row (measured) — seconds per
 # step.  The custom backward instead:
 #
-#   1. sorts the (index, w*g) contribution stream by table row (XLA TPU sort
-#      is fast: ~4 ns/elem measured);
-#   2. collapses duplicate rows with a cumsum + run-boundary difference
-#      (pure vector math);
+#   1. sorts the (row, w*g[c0..cN]) contribution stream by table row, channel
+#      values riding as extra 1-D sort operands (XLA TPU sort: ~5 ns/elem
+#      measured on v5e);
+#   2. collapses duplicate rows with per-channel cumsum + run-boundary
+#      differences (pure vector math);
 #   3. compacts the run ends with a second key-only sort;
-#   4. performs ONE scatter of at most `unique_cap` unique rows.
+#   4. performs ONE row scatter of at most `unique_cap` unique rows.
 #
-# This trades the 33M-row serialized scatter for two sorts + a ~6M-row
-# scatter: ~2.5-3x faster end-to-end, and the only remaining serialized op is
-# proportional to the number of *touched table rows*, not contributions.
+# This trades the 33M-row serialized scatter for two sorts + a table-sized
+# scatter; the only remaining serialized op is proportional to the number of
+# *touched table rows*, not contributions.
 # Numerical note: the run-difference uses a global fp32 cumsum whose error is
 # O(sqrt(K) * eps) relative — far tighter than the reference's fp16 atomicAdd
 # accumulation (gridencoder.cu:313-326).
@@ -427,46 +446,66 @@ def _encode_fast_bwd(spec, style, res, g):
     t = spec.total_params
 
     if _all_levels_hashed(spec, style):
-        elem, w, oob = _flat_corners(spec, c, style, x)
+        rows, w, oob = _flat_corners(spec, c, style, x)  # [B, 8L]
+        rows_k = rows.reshape(b, 8, l).transpose(1, 0, 2).reshape(-1)
+        w_k = w.reshape(b, 8, l).transpose(1, 0, 2).reshape(-1)
     else:
-        flat_idx, weights, oob = corner_indices_weights(spec, x, style)
-        # Rearrange to the corner-major flat domain (tiny grids only).
-        elem = (flat_idx[..., None] * c + jnp.arange(c)).transpose(0, 2, 1, 3)
-        elem = elem.reshape(b, 8 * l * c).astype(jnp.int32)
-        w = jnp.repeat(
-            weights.transpose(0, 2, 1).reshape(b, 8 * l), c, axis=-1
-        )
-    g2 = jnp.where(oob[:, None], 0.0, g.reshape(b, l * c))
-    # Per-ELEMENT contribution stream: val[b, (corner, l, ch)] =
-    # w[b, (corner, l)] * g[b, (l, ch)] — corner-major, so g just tiles.
-    vals_flat = (w * jnp.tile(g2, (1, 8))).reshape(-1).astype(jnp.float32)
-    idx_flat = elem.reshape(-1)
-    k = b * 8 * l * c
+        flat_idx, weights, oob = corner_indices_weights(spec, x, style)  # [B, L, 8]
+        rows_k = flat_idx.transpose(2, 0, 1).reshape(-1)  # (corner, b, l)
+        w_k = weights.transpose(2, 0, 1).reshape(-1)
+    k = b * 8 * l
 
-    # 1. sort contributions by table element
-    idx_s, vals_s = jax.lax.sort((idx_flat, vals_flat), num_keys=1)
+    # Per-ROW contribution stream (k ordered (corner, b, l), matching the
+    # forward): channel values carried as C separate 1-D sort operands so no
+    # materialized tensor has a sub-128 minor dim.
+    g3 = jnp.where(oob[:, None, None], 0.0, g.reshape(b, l, c))
+    vals = []
+    for j in range(c):
+        gj = jnp.tile(g3[:, :, j].reshape(-1), 8)  # [(corner, b, l)]
+        vals.append((w_k * gj).astype(jnp.float32))
 
-    # 2. run totals via cumsum differences at run ends
-    cums = jnp.cumsum(vals_s)  # [K]
+    # 1. one sort of the row stream, channels riding along
+    sorted_ops = jax.lax.sort((rows_k, *vals), num_keys=1)
+    idx_s, vals_s = sorted_ops[0], sorted_ops[1:]
+
+    # 2. run totals at run ends via cumsum differences computed IN PLACE:
+    #    total[i] = cums[i] - cums[prev_end]; prev_end's cumsum rides to
+    #    position i by masking non-end cumsums to 0 and taking a shifted
+    #    running max of (position-tagged) end cumsums... simpler: delta at
+    #    every position, then a second sort compacts ends (no gathers — the
+    #    v5e element-gather rate of ~60 ns/elem makes gather-based compaction
+    #    the bottleneck, while sort is ~5 ns/elem).
     is_end = jnp.concatenate([idx_s[1:] != idx_s[:-1], jnp.ones((1,), bool)])
+    cums = [jnp.cumsum(v) for v in vals_s]
 
-    # 3. compact run-end positions with a key-only sort
-    unique_cap = min(k, t * c)
-    pos_keys = jnp.where(is_end, jnp.arange(k, dtype=jnp.int32), jnp.int32(k))
-    pos_sorted = jax.lax.sort(pos_keys)[:unique_cap]
-    valid = pos_sorted < k
-    pos_safe = jnp.minimum(pos_sorted, k - 1)
-
-    end_cums = cums[pos_safe]  # [U]
-    prev = jnp.concatenate([jnp.zeros((1,), jnp.float32), end_cums[:-1]])
-    run_totals = jnp.where(valid, end_cums - prev, 0.0)
-    run_idx = jnp.where(valid, idx_s[pos_safe], t * c)  # t*c = dropped
-
-    # 4. one scatter of unique elements into the flat table
-    d_emb = jnp.zeros((t * c,), jnp.float32).at[run_idx].add(
-        run_totals, mode="drop", unique_indices=True, indices_are_sorted=True
-    )
-    return d_emb.reshape(t, c).astype(emb_dtype), jnp.zeros_like(x)
+    # 3. second sort moves run-end rows to the front, ordered by table row;
+    #    everything else carries sentinel key t and sorts to the back.
+    unique_cap = min(k, t)
+    key2 = jnp.where(is_end, idx_s, jnp.int32(t))
+    # carried: end-cumsums (zeroed elsewhere so prev-diff works after slice)
+    carried = [jnp.where(is_end, cu, 0.0) for cu in cums]
+    sorted2 = jax.lax.sort((key2, *carried), num_keys=1)
+    run_idx = sorted2[0][:unique_cap]
+    valid = run_idx < t
+    # NOTE: within equal keys XLA sort is stable, and run-end cumsums are
+    # strictly ordered by their original position per key (one end per key),
+    # so after the slice, ends of distinct rows appear in row order and the
+    # exclusive-prefix diff below is exact.
+    totals = []
+    d_flat = []
+    for j, ec in enumerate(sorted2[1:]):
+        ec = ec[:unique_cap]
+        prev = jnp.concatenate([jnp.zeros((1,), jnp.float32), ec[:-1]])
+        tot = jnp.where(valid, ec - prev, 0.0)
+        # 4. per-channel 1-D scatter of unique rows (a [U, C] row scatter
+        #    measured 7x slower than C 1-D scatters on v5e)
+        d_flat.append(
+            jnp.zeros((t,), jnp.float32).at[jnp.where(valid, run_idx, t)].add(
+                tot, mode="drop", unique_indices=True, indices_are_sorted=True
+            )
+        )
+    d_emb = jnp.stack(d_flat, axis=-1)
+    return d_emb.astype(emb_dtype), jnp.zeros_like(x)
 
 
 _encode_fast.defvjp(_encode_fast_fwd, _encode_fast_bwd)

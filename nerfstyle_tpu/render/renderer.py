@@ -74,19 +74,12 @@ def cascade_for_bound(bound: float) -> int:
 _BUDGET_BUCKETS = (4, 8, 16, 32, 64, 128, 256)
 
 
-def budget_for(num_rays: int, mean_count: int, max_steps: int, max_per_ray: int) -> int:
-    """Pick the static compaction budget M from the running point-count mean.
-
-    Mirrors the reference's mean_count buffer sizing with 1.5x headroom
-    (raymarching.py:233-236); snapped to a bucket ladder to bound the number of
-    compiled variants.
-    """
-    want = max(1, int(mean_count * 1.5)) if mean_count > 0 else num_rays * max_per_ray
-    per_ray = (want + num_rays - 1) // num_rays
+def bucket_for(per_ray_want: float, max_per_ray: int) -> int:
+    """Smallest ladder bucket covering ``per_ray_want`` samples/ray."""
     for b in _BUDGET_BUCKETS:
-        if b >= per_ray and b <= max_per_ray:
-            return num_rays * b
-    return num_rays * min(max_per_ray, max(_BUDGET_BUCKETS), max_steps)
+        if b >= per_ray_want and b <= max_per_ray:
+            return b
+    return min(max(_BUDGET_BUCKETS), max_per_ray)
 
 
 def render_rays(
@@ -173,6 +166,16 @@ class Renderer:
         self.update_occ = True
         self._mean_count_host = 0
         self._local_step_host = 0
+        self._last_num_rays = 1
+        # Samples/ray bucket with hysteresis: every bucket value is a separate
+        # XLA compilation of the train step (minutes each on the remote TPU
+        # compiler), so the bucket must NOT track the mean_count EMA tick by
+        # tick.  It shrinks at most one ladder step per occupancy update and
+        # grows directly to the needed bucket on overflow — bounding total
+        # recompiles per run to ~len(_BUDGET_BUCKETS).
+        self._budget_bucket = min(
+            settings.max_samples_per_ray, max(_BUDGET_BUCKETS)
+        )
 
         self._render_jit_cache = {}
 
@@ -206,11 +209,28 @@ class Renderer:
         # Host mirror of the device mean_count for budget bucketing (the
         # reference syncs its step counter here too, renderer.py:192-194).
         self._mean_count_host = int(self.occ_state.mean_count)
+        self._retune_bucket()
 
-    def note_batch_points(self, num_points) -> None:
+    def _retune_bucket(self) -> None:
+        if self._mean_count_host <= 0:
+            return
+        per_ray = self._mean_count_host * 1.5 / max(1, self._last_num_rays)
+        cand = bucket_for(per_ray, self.settings.max_samples_per_ray)
+        if cand > self._budget_bucket:
+            self._budget_bucket = cand  # overflow: jump up immediately
+        elif cand < self._budget_bucket:
+            lower = [b for b in _BUDGET_BUCKETS if b < self._budget_bucket]
+            if lower:  # shrink gradually, one ladder step per update
+                self._budget_bucket = min(
+                    lower[-1], self.settings.max_samples_per_ray
+                )
+
+    def note_batch_points(self, num_points, num_rays: Optional[int] = None) -> None:
         """Feed the compacted point count of a train batch into mean_count."""
         self.occ_state = update_mean_count(self.occ_state, jnp.asarray(num_points))
         self._local_step_host += 1
+        if num_rays:
+            self._last_num_rays = num_rays
 
     def maybe_update_state(self, params: Params, key: jax.Array) -> bool:
         if self.update_occ and (self._local_step_host % self.settings.update_iter == 0):
@@ -222,12 +242,7 @@ class Renderer:
 
     def make_plan(self, num_rays: int, budget: Optional[int] = None) -> MarchPlan:
         if budget is None:
-            budget = budget_for(
-                num_rays,
-                self._mean_count_host,
-                self.settings.max_steps,
-                self.settings.max_samples_per_ray,
-            )
+            budget = num_rays * self._budget_bucket
         return MarchPlan(
             bound=self.bound,
             cascade=self.cascade,

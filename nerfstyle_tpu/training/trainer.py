@@ -419,7 +419,9 @@ class Trainer:
             self._poses_dev[frame],
             k_step,
         )
-        self.renderer.note_batch_points(num_points)
+        self.renderer.note_batch_points(
+            num_points, self.train_cfg.num_rays_per_batch
+        )
 
         self.iter_ctr += 1
         self.time1 = time.time()
