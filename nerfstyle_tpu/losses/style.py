@@ -214,7 +214,25 @@ class SemanticStyleLoss(StyleLoss):
             image_centroids[:, None] - self.style_centroids[None], axis=-1
         )
         cost = np.nan_to_num(np.asarray(feat_d + patch_d))
-        self.matching = linear_sum_assignment(cost)[1]
+        # Robustness beyond the reference (loss.py:169-184): a cluster that
+        # has no pixels at feature resolution (nearest-downsampling can erase
+        # thin segments) must never be assigned — matching a class to it
+        # would make every one of its pixels' NN distance inf.
+        present = np.asarray(
+            jax.vmap(lambda i: jnp.sum(self.clusters == i))(
+                jnp.arange(self.n_clusters)
+            )
+        ) > 0
+        cost[:, ~present] = 1e9
+        matching = linear_sum_assignment(cost)[1]
+        if present.any():
+            # A square assignment must use every column; remap any class that
+            # still landed on an absent cluster to its cheapest present one
+            # (duplicates allowed in this degenerate case).
+            masked = np.where(present[None, :], cost, np.inf)
+            for i in np.flatnonzero(~present[matching]):
+                matching[i] = int(np.argmin(masked[i]))
+        self.matching = matching
 
     def __call__(
         self,
@@ -242,7 +260,14 @@ class SemanticStyleLoss(StyleLoss):
             allowed = self.clusters.reshape(-1)[None, :] == match_of_pixel[:, None]
             dists = jnp.where(allowed, dists, jnp.inf)
 
-        return jnp.mean(jnp.min(dists, axis=1))
+        mins = jnp.min(dists, axis=1)
+        # Safety net: a pixel with an empty allowed set contributes 0 instead
+        # of poisoning the mean with inf (cannot happen once update_matching
+        # masks absent clusters, but user-supplied matchings bypass that).
+        finite = jnp.isfinite(mins)
+        return jnp.sum(jnp.where(finite, mins, 0.0)) / jnp.maximum(
+            jnp.sum(finite), 1
+        )
 
 
 class MattingLaplacian:

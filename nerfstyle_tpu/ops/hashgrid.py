@@ -280,10 +280,10 @@ from functools import lru_cache
 @lru_cache(maxsize=None)
 def _flat_plan(spec: HashGridSpec, c: int, style: int):
     l = spec.num_levels
-    n = 8 * l  # one column per (corner, level) ROW of the table
+    n = 8 * l  # one column per (level, corner) ROW of the table
     j = np.arange(n)
-    corner = j // l
-    lvl = j % l
+    corner = j % 8  # corner minor: column slice [cnr::8] is one corner's levels
+    lvl = j // 8
     bits = _CORNERS[corner]  # [N, 3]
     return {
         "n": n,
@@ -332,29 +332,26 @@ def _flat_corners(spec: HashGridSpec, c: int, style: int, x):
 
 
 def _encode_flat(spec: HashGridSpec, style: int, embeddings, x):
-    """All-hashed-levels forward via one row gather -> [B, L*C].
+    """All-hashed-levels forward via 8 per-corner row gathers -> [B, L*C].
 
-    K = B * 8L rows ordered corner-major (corner, b, l): the trilerp
-    reduction is then 8 contiguous row-block adds of the gathered [K, C]
-    values — no rank>2 intermediate, no sub-128-lane tensor other than the
-    packed gather output itself (which XLA keeps in a linear layout).
+    Layout discipline (each alternative was measured to force a padded
+    relayout copy of the [K, 4] gather output — 16 GB at style-eval sizes):
+    NO transposes, NO rank-3 intermediates, NO strided row slices.  Each
+    corner's [B*L] index stream is a lane-strided column slice of the clean
+    [B, 8L] plan (fuses into the gather's index computation); each gather
+    output [B*L, C] feeds a fused multiply-add accumulation.
     """
     b = x.shape[0]
     c = embeddings.shape[1]
     l = spec.num_levels
-    bl = b * l
-    rows, w, oob = _flat_corners(spec, c, style, x)  # [B, 8L] corner-major cols
-    # Stream ordered k = (corner, b, l); the transposes fuse into the 1-D
-    # packed gather-index computation, so nothing rank-3 materializes.
-    rows_k = rows.reshape(b, 8, l).transpose(1, 0, 2).reshape(-1)
-    w_k = w.reshape(b, 8, l).transpose(1, 0, 2).reshape(-1)
-    vals = jnp.take(embeddings, rows_k, axis=0)  # [K, C] one row gather
-    vals = vals * w_k[:, None]
-    out_bl = vals[:bl]
-    for k in range(1, 8):  # corner-major: 8 contiguous row-block adds
-        out_bl = out_bl + vals[k * bl : (k + 1) * bl]
-    # out_bl rows ordered (b, l) -> [B, L*C] level-major per point
-    out = out_bl.reshape(b, l * c)
+    rows, w, oob = _flat_corners(spec, c, style, x)  # [B, 8L] cols (l, corner)
+    out = None
+    for cnr in range(8):
+        idx_c = rows[:, cnr::8].reshape(-1)  # [B*L] ordered (b, l)
+        w_c = w[:, cnr::8].reshape(-1)
+        term = jnp.take(embeddings, idx_c, axis=0) * w_c[:, None]
+        out = term if out is None else out + term
+    out = out.reshape(b, l * c)  # rows (b, l) -> level-major features
     return jnp.where(oob[:, None], 0.0, out)
 
 
@@ -446,22 +443,23 @@ def _encode_fast_bwd(spec, style, res, g):
     t = spec.total_params
 
     if _all_levels_hashed(spec, style):
-        rows, w, oob = _flat_corners(spec, c, style, x)  # [B, 8L]
-        rows_k = rows.reshape(b, 8, l).transpose(1, 0, 2).reshape(-1)
-        w_k = w.reshape(b, 8, l).transpose(1, 0, 2).reshape(-1)
+        rows, w, oob = _flat_corners(spec, c, style, x)  # [B, 8L] cols (l, corner)
+        per_corner_rows = [rows[:, cnr::8].reshape(-1) for cnr in range(8)]
+        per_corner_w = [w[:, cnr::8].reshape(-1) for cnr in range(8)]
     else:
         flat_idx, weights, oob = corner_indices_weights(spec, x, style)  # [B, L, 8]
-        rows_k = flat_idx.transpose(2, 0, 1).reshape(-1)  # (corner, b, l)
-        w_k = weights.transpose(2, 0, 1).reshape(-1)
+        per_corner_rows = [flat_idx[:, :, cnr].reshape(-1) for cnr in range(8)]
+        per_corner_w = [weights[:, :, cnr].reshape(-1) for cnr in range(8)]
     k = b * 8 * l
 
-    # Per-ROW contribution stream (k ordered (corner, b, l), matching the
-    # forward): channel values carried as C separate 1-D sort operands so no
-    # materialized tensor has a sub-128 minor dim.
+    # Per-ROW contribution stream, k ordered (corner, b, l): pure 1-D
+    # concatenations — no transposes, no rank-3, no sub-128 minor dims.
+    rows_k = jnp.concatenate(per_corner_rows)
+    w_k = jnp.concatenate(per_corner_w)
     g3 = jnp.where(oob[:, None, None], 0.0, g.reshape(b, l, c))
     vals = []
     for j in range(c):
-        gj = jnp.tile(g3[:, :, j].reshape(-1), 8)  # [(corner, b, l)]
+        gj = jnp.tile(g3[..., j].reshape(-1), 8)  # [(corner, b, l)]
         vals.append((w_k * gj).astype(jnp.float32))
 
     # 1. one sort of the row stream, channels riding along

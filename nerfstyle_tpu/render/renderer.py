@@ -346,6 +346,11 @@ class Renderer:
             "mean_count": s.mean_count,
             "mean_density": s.mean_density,
             "local_step": s.local_step,
+            # TPU-specific: the tuned compaction bucket must survive the
+            # recon -> style -> render chain, or downstream stages render at
+            # the max bucket (256/ray) and OOM on full-frame evals.
+            "budget_bucket": self._budget_bucket,
+            "last_num_rays": self._last_num_rays,
         }
 
     def load_state_dict(self, sd: Dict[str, object]) -> None:
@@ -361,6 +366,18 @@ class Renderer:
         )
         self._mean_count_host = int(self.occ_state.mean_count)
         self._local_step_host = int(self.occ_state.local_step)
+        if "budget_bucket" in sd:
+            self._budget_bucket = min(
+                int(sd["budget_bucket"]), self.settings.max_samples_per_ray
+            )
+            self._last_num_rays = int(sd.get("last_num_rays", 1))
+        elif self._mean_count_host > 0:
+            # Legacy ckpt: assume the reference's default train batch size.
+            self._last_num_rays = 4096
+            self._budget_bucket = bucket_for(
+                self._mean_count_host * 1.5 / 4096,
+                self.settings.max_samples_per_ray,
+            )
 
 
 def _close(a, b) -> bool:

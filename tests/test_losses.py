@@ -139,6 +139,29 @@ class TestSemantic:
         v1 = float(loss(img_feats, None, preds))
         assert np.isfinite(v1) and v1 > 0
 
+    def test_thin_cluster_never_matched(self, tmp_path):
+        """A cluster erased by nearest-downsampling to feature resolution
+        must not be assigned by the Hungarian matching, and the loss stays
+        finite (regression: inf loss when a matched cluster had no pixels at
+        feature resolution)."""
+        rng = np.random.default_rng(3)
+        # 16x16 seg: clusters 0/1 are halves, cluster 2 is ONE thin row that
+        # nearest-downsampling to 8x8 erases (row 15 never sampled).
+        seg = np.repeat(np.arange(2), 8 * 16).reshape(16, 16).copy()
+        seg[15, :] = 2
+        path = tmp_path / "seg_thin.npz"
+        np.savez(path, seg_map=seg)
+        loss = SemanticStyleLoss(["relu3"], clusters_path=path)
+        style_feats = {"relu3": jnp.asarray(rng.random((1, 8, 8, 8)), jnp.float32)}
+        loss.init_feats(style_feats, num_classes=3)
+        assert int(jnp.sum(loss.clusters == 2)) == 0  # premise: erased
+
+        img_feats = {"relu3": jnp.asarray(rng.random((1, 8, 8, 8)), jnp.float32)}
+        preds = jnp.asarray((np.arange(64) % 3).reshape(8, 8))
+        val = float(loss(img_feats, None, preds))
+        assert np.isfinite(val)
+        assert 2 not in set(int(m) for m in loss.matching)
+
     def test_no_matching_mode(self):
         loss = SemanticStyleLoss(["relu3"], clusters_path=None)
         rng = np.random.default_rng(2)
