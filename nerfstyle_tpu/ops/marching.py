@@ -35,14 +35,28 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
-from typing import NamedTuple
+from typing import NamedTuple, Optional, Union
 
+import jax
 import jax.numpy as jnp
 
 from ..core.types import RayBundle
 from .occupancy import cell_linear_index
 
 SQRT3 = 1.7320508075688772
+
+
+class OccField(NamedTuple):
+    """Occupancy lookup structures for marching.
+
+    ``skipdist`` (optional) enables the adaptive empty-space-skipping marcher;
+    with only ``bitfield`` the dense full-lattice marcher runs.  Both produce
+    identical samples (tested); adaptive replaces the [N, T] lattice sweep
+    with a while_loop whose trip count tracks the occupied span.
+    """
+
+    bitfield: jnp.ndarray  # [cascade * H**3] bool
+    skipdist: Optional[jnp.ndarray] = None  # [cascade * H**3] uint8, 0 = occupied
 
 
 @dataclass(frozen=True)
@@ -98,16 +112,15 @@ class SampleBatch(NamedTuple):
     num_kept: jnp.ndarray  # i32 scalar: samples that survived masking (pre-truncation)
 
 
-def occupancy_lookup(
+def cell_index_and_size(
     xyz: jnp.ndarray,
-    bitfield: jnp.ndarray,
     *,
     bound: float,
     cascade: int,
     grid_size: int,
     mip_dt_level: int = 0,
-) -> jnp.ndarray:
-    """Occupancy of world points in the cascaded grid.
+):
+    """Cascaded-grid cell index + world cell size of world points.
 
     Mirrors mip_from_pos + grid addressing (raymarching.cu:42-47,469-480) with
     linear instead of Morton cell layout.
@@ -120,28 +133,29 @@ def occupancy_lookup(
     coords = (0.5 * (xyz / mip_bound[..., None] + 1.0) * h).astype(jnp.int32)
     coords = jnp.clip(coords, 0, h - 1)
     idx = level * (h * h * h) + cell_linear_index(coords, h)
+    return idx, 2.0 * mip_bound / h, level, mx
+
+
+def occupancy_lookup(
+    xyz: jnp.ndarray,
+    bitfield: jnp.ndarray,
+    *,
+    bound: float,
+    cascade: int,
+    grid_size: int,
+    mip_dt_level: int = 0,
+) -> jnp.ndarray:
+    """Occupancy of world points in the cascaded grid."""
+    idx, _, _, _ = cell_index_and_size(
+        xyz, bound=bound, cascade=cascade, grid_size=grid_size,
+        mip_dt_level=mip_dt_level,
+    )
     return bitfield[idx]
 
 
-def march_rays(
-    plan: MarchPlan,
-    bitfield: jnp.ndarray,
-    rays: RayBundle,
-    nears: jnp.ndarray,
-    fars: jnp.ndarray,
-) -> SampleBatch:
-    """March N rays over the occupancy grid; emit compacted samples.
-
-    Args:
-        plan: static geometry (N, T, M are compile-time shapes).
-        bitfield: [cascade * grid_size**3] bool occupancy.
-        rays: RayBundle of exactly ``plan.num_rays`` rays.
-        nears/fars: [N] from :func:`near_far_from_aabb`.
-    """
+def _kept_mask_dense(plan: MarchPlan, bitfield, rays, nears, fars):
+    """Full-lattice occupancy mask [N, T] (one big gather)."""
     n, t_lat, dt = plan.num_rays, plan.t_lattice, plan.dt
-    assert rays.dirs.shape[0] == n
-
-    # Lattice times t_k = near + k*dt  (noise = 0: raymarching.py:247-251).
     k = jnp.arange(t_lat, dtype=jnp.float32)
     t = nears[:, None] + k[None, :] * dt  # [N, T]
 
@@ -161,6 +175,105 @@ def march_rays(
     # Per-ray cap on kept samples (max_steps counts only occupied steps,
     # raymarching.cu:460,485-487).
     kept &= jnp.cumsum(kept, axis=1) <= plan.max_steps
+    return kept
+
+
+def _kept_mask_adaptive(plan: MarchPlan, skipdist, rays, nears, fars):
+    """Empty-space-skipping occupancy mask [N, T], identical to the dense
+    mask (adaptive marching semantics of raymarching.cu:497-499).
+
+    A while_loop advances every ray along the dt lattice.  The safe skip from
+    a point x is the CROSS-LEVEL world distance
+
+        d_world(x) = min over cascades l of (sd_l[cell_l(x)] - 1) * cell_l
+
+    — inside that L-inf ball EVERY cascade is empty, so every skipped lattice
+    point is unoccupied at its own mip level regardless of mip transitions
+    (an earlier per-level variant needed shell caps that trapped
+    boundary-grazing rays at one step per iteration).  Trip count tracks
+    occupied-span length + skip count instead of the full t_lattice.
+    """
+    n, t_lat, dt = plan.num_rays, plan.t_lattice, plan.dt
+    h = plan.grid_size
+    h3 = h * h * h
+
+    # Static per-level cell sizes.
+    cell_sizes = [
+        2.0 * min(2.0**lv, plan.bound) / h for lv in range(plan.cascade)
+    ]
+
+    def cond(state):
+        _, _, _, done = state
+        return ~jnp.all(done)
+
+    def body(state):
+        k, kept_flat, emitted, done = state
+        t = nears + k.astype(jnp.float32) * dt
+        alive = ~done
+        xyz = rays.origins + rays.dirs * t[:, None]
+        xyz = jnp.clip(xyz, -plan.bound, plan.bound)
+
+        # Emission level (mip_from_pos semantics, as in the dense path).
+        mx = jnp.max(jnp.abs(xyz), axis=-1)
+        _, e = jnp.frexp(mx)
+        level = jnp.clip(jnp.maximum(e, plan.mip_dt_level), 0, plan.cascade - 1)
+
+        d_world = jnp.full((n,), jnp.inf, jnp.float32)
+        d_sel = jnp.zeros((n,), jnp.int32)
+        for lv in range(plan.cascade):  # static unroll, one [N] gather each
+            mip_bound = min(2.0**lv, plan.bound)
+            coords = (0.5 * (xyz / mip_bound + 1.0) * h).astype(jnp.int32)
+            coords = jnp.clip(coords, 0, h - 1)
+            d_lv = skipdist[lv * h3 + cell_linear_index(coords, h)].astype(jnp.int32)
+            d_world = jnp.minimum(
+                d_world, (d_lv - 1).astype(jnp.float32) * cell_sizes[lv]
+            )
+            d_sel = jnp.where(level == lv, d_lv, d_sel)
+
+        occ = (d_sel == 0) & alive & (t < fars)
+        kept_flat = kept_flat.at[
+            jnp.arange(n) * t_lat + jnp.minimum(k, t_lat - 1)
+        ].max(occ)
+        emitted = emitted + occ.astype(jnp.int32)
+        adv = jnp.maximum(1, jnp.floor(d_world / dt).astype(jnp.int32))
+        k = jnp.where(done, k, k + adv)
+        t_next = nears + k.astype(jnp.float32) * dt
+        done = done | (t_next >= fars) | (k >= t_lat) | (emitted >= plan.max_steps)
+        return k, kept_flat, emitted, done
+
+    k0 = jnp.zeros((n,), jnp.int32)
+    kept0 = jnp.zeros((n * t_lat,), jnp.bool_)
+    emitted0 = jnp.zeros((n,), jnp.int32)
+    done0 = nears >= fars
+    _, kept_flat, _, _ = jax.lax.while_loop(cond, body, (k0, kept0, emitted0, done0))
+    return kept_flat.reshape(n, t_lat)
+
+
+def march_rays(
+    plan: MarchPlan,
+    occ: Union[OccField, jnp.ndarray],
+    rays: RayBundle,
+    nears: jnp.ndarray,
+    fars: jnp.ndarray,
+) -> SampleBatch:
+    """March N rays over the occupancy grid; emit compacted samples.
+
+    Args:
+        plan: static geometry (N, T, M are compile-time shapes).
+        occ: OccField (adaptive when skipdist present) or a bare [cascade *
+            grid_size**3] bool bitfield (dense full-lattice path).
+        rays: RayBundle of exactly ``plan.num_rays`` rays.
+        nears/fars: [N] from :func:`near_far_from_aabb`.
+    """
+    n, t_lat, dt = plan.num_rays, plan.t_lattice, plan.dt
+    assert rays.dirs.shape[0] == n
+    if not isinstance(occ, OccField):
+        occ = OccField(bitfield=occ)
+
+    if occ.skipdist is not None:
+        kept = _kept_mask_adaptive(plan, occ.skipdist, rays, nears, fars)
+    else:
+        kept = _kept_mask_dense(plan, occ.bitfield, rays, nears, fars)
     num_kept = jnp.sum(kept, dtype=jnp.int32)
 
     # Static-size compaction, ray-major order preserved.

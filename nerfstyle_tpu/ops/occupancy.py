@@ -31,13 +31,56 @@ import numpy as np
 
 
 class OccupancyState(NamedTuple):
-    """Pytree of occupancy-grid arrays (reference fields: renderer.py:61-69)."""
+    """Pytree of occupancy-grid arrays (reference fields: renderer.py:61-69).
+
+    ``skipdist`` is a TPU-native addition with no reference counterpart: the
+    per-cell L-inf distance (in cells, capped at SKIP_DMAX) to the nearest
+    occupied cell of the same cascade.  The adaptive marcher uses it for
+    empty-space skipping — the CUDA marcher gets the same effect from
+    per-thread DDA mip traversal (raymarching.cu:497-499), which has no
+    vectorizable analog.
+    """
 
     density_grid: jnp.ndarray  # [cascade, H**3] f32, -1 marks never-sampled? (ref keeps >=0)
     bitfield: jnp.ndarray  # [cascade * H**3] bool, True = occupied
+    skipdist: jnp.ndarray  # [cascade * H**3] uint8, 0 = occupied
     mean_density: jnp.ndarray  # f32 scalar
     mean_count: jnp.ndarray  # i32 scalar: running mean of points per batch
     local_step: jnp.ndarray  # i32 scalar: number of training marches done
+
+
+SKIP_DMAX = 15  # cap on stored skip distance (cells)
+
+
+def _dilate3(occ: jnp.ndarray) -> jnp.ndarray:
+    """3x3x3 binary dilation of [cascade, H, H, H], non-wrapping."""
+    for ax in (1, 2, 3):
+        pad = [(0, 0)] * 4
+        pad[ax] = (1, 1)
+        a = jnp.pad(occ, pad)
+        lo = [slice(None)] * 4
+        mid = [slice(None)] * 4
+        hi = [slice(None)] * 4
+        lo[ax], mid[ax], hi[ax] = slice(0, -2), slice(1, -1), slice(2, None)
+        occ = a[tuple(lo)] | a[tuple(mid)] | a[tuple(hi)]
+    return occ
+
+
+def skipdist_from_bitfield(bitfield: jnp.ndarray, grid_size: int) -> jnp.ndarray:
+    """L-inf distance transform (capped at SKIP_DMAX) via iterated dilation.
+
+    dist[c] = 0 iff occupied; else min L-inf cell distance to an occupied
+    cell; SKIP_DMAX means "at least SKIP_DMAX".  Cost: SKIP_DMAX * 6 shifted
+    ORs over the grid — trivial next to the density probes that precede it.
+    """
+    h = grid_size
+    occ = bitfield.reshape(-1, h, h, h)
+    dist = jnp.full(occ.shape, SKIP_DMAX, jnp.uint8)
+    for k in range(SKIP_DMAX):
+        dist = jnp.where(occ & (dist == SKIP_DMAX), jnp.uint8(k), dist)
+        if k < SKIP_DMAX - 1:
+            occ = _dilate3(occ)
+    return dist.reshape(-1)
 
 
 def occupancy_init(cascade: int, grid_size: int) -> OccupancyState:
@@ -45,6 +88,7 @@ def occupancy_init(cascade: int, grid_size: int) -> OccupancyState:
     return OccupancyState(
         density_grid=jnp.zeros((cascade, n), jnp.float32),
         bitfield=jnp.zeros((cascade * n,), jnp.bool_),
+        skipdist=jnp.full((cascade * n,), SKIP_DMAX, jnp.uint8),
         mean_density=jnp.zeros((), jnp.float32),
         mean_count=jnp.zeros((), jnp.int32),
         local_step=jnp.zeros((), jnp.int32),
@@ -93,7 +137,13 @@ def _merge_and_threshold(
     mean_density = jnp.mean(jnp.clip(grid, min=0.0))
     thresh = jnp.minimum(mean_density, density_thresh)
     bitfield = (grid > thresh).reshape(-1)
-    return state._replace(density_grid=grid, bitfield=bitfield, mean_density=mean_density)
+    grid_size = round(state.density_grid.shape[1] ** (1 / 3))
+    return state._replace(
+        density_grid=grid,
+        bitfield=bitfield,
+        skipdist=skipdist_from_bitfield(bitfield, grid_size),
+        mean_density=mean_density,
+    )
 
 
 def occupancy_update_full(

@@ -35,11 +35,13 @@ from ..models.fields import FieldSpec, Params, field_apply, field_density
 from ..ops.aabb import near_far_from_aabb
 from ..ops.compositing import composite_rays
 from ..ops.marching import MarchPlan, march_rays
+from ..ops.marching import OccField
 from ..ops.occupancy import (
     OccupancyState,
     occupancy_init,
     occupancy_update_full,
     occupancy_update_random,
+    skipdist_from_bitfield,
     update_mean_count,
 )
 
@@ -63,6 +65,9 @@ class RenderSettings:
     # TPU-specific: per-ray average sample capacity of the largest compaction
     # bucket; caps worst-case memory (see budget_for).
     max_samples_per_ray: int = 256
+    # TPU-specific: empty-space-skipping while_loop marcher (exact lattice
+    # semantics; see ops/marching.py). False = dense [N, T] lattice sweep.
+    adaptive_march: bool = True
 
 
 def cascade_for_bound(bound: float) -> int:
@@ -271,9 +276,16 @@ class Renderer:
             self._render_jit_cache[key] = f
         return self._render_jit_cache[key]
 
+    @property
+    def occ_field(self) -> OccField:
+        """Marching structures: bitfield (+ skip distances when adaptive)."""
+        if self.settings.adaptive_march:
+            return OccField(self.occ_state.bitfield, self.occ_state.skipdist)
+        return OccField(self.occ_state.bitfield)
+
     def render_ray_batch(self, params: Params, rays: RayBundle) -> Dict[str, jnp.ndarray]:
         plan = self.make_plan(len(rays))
-        return self._render_fn(plan)(params, self.occ_state.bitfield, self.bbox,
+        return self._render_fn(plan)(params, self.occ_field, self.bbox,
                                      rays.origins, rays.dirs)
 
     def render(
@@ -357,9 +369,12 @@ class Renderer:
         for k in ("precrop_frac", "raymarch_channels", "bound"):
             if k in sd and not _close(getattr(self, k), sd[k]):
                 raise ValueError(f'checkpoint mismatch for "{k}": {sd[k]} vs {getattr(self, k)}')
+        bitfield = jnp.asarray(sd["bitfield"])
         self.occ_state = OccupancyState(
             density_grid=jnp.asarray(sd["density_grid"]),
-            bitfield=jnp.asarray(sd["bitfield"]),
+            bitfield=bitfield,
+            # Derived, not persisted: rebuild the skip-distance field.
+            skipdist=skipdist_from_bitfield(bitfield, self.settings.grid_size),
             mean_density=jnp.asarray(sd["mean_density"]),
             mean_count=jnp.asarray(sd["mean_count"]),
             local_step=jnp.asarray(sd["local_step"]),

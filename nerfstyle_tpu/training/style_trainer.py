@@ -190,7 +190,7 @@ class StyleTrainer(Trainer):
             budget = self.renderer.make_plan(n).budget
             patch_grad = grad_map[patch.hrange(), patch.wrange()].reshape(-1, 3)
             g = self._patch_grad_fn(n, budget)(
-                trainable, frozen, self.renderer.occ_state.bitfield,
+                trainable, frozen, self.renderer.occ_field,
                 rays.origins, rays.dirs, patch_grad,
             )
             grads = jax.tree_util.tree_map(jnp.add, grads, g)

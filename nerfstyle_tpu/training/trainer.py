@@ -50,6 +50,7 @@ from ..losses.recon import (
     weight_reg_loss,
 )
 from ..models.fields import field_apply, field_density, field_init, make_grid_spec, style_field_spec
+from ..ops.marching import OccField
 from ..render.renderer import Renderer, RenderSettings, render_rays
 from ..training import checkpoint as ckpt_lib
 from ..training.ema import EmaState, ema_init, ema_params, ema_update
@@ -414,7 +415,12 @@ class Trainer:
             self.params,
             self.opt_state,
             self.ema_state,
-            self.renderer.occ_state.bitfield,
+            # Dense lattice marching: at train batch sizes (4096 rays) the
+            # occupied-span emission dominates, where the dense [N, T] sweep's
+            # full parallelism beats the adaptive while_loop (measured 173 vs
+            # 211 ms).  Eval/style full-frame renders use the adaptive path
+            # via renderer.occ_field.
+            OccField(self.renderer.occ_state.bitfield),
             self._images_dev[frame],
             self._poses_dev[frame],
             k_step,

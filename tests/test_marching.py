@@ -229,3 +229,49 @@ class TestOccLookup:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+class TestAdaptiveMarch:
+    """The skip-distance while_loop marcher must emit EXACTLY the dense
+    marcher's samples (empty-space skipping is an optimization, not a
+    semantic change)."""
+
+    @pytest.mark.parametrize("bound,h,density", [
+        (1.0, 16, 0.3), (2.0, 16, 0.05), (2.0, 32, 0.5), (1.0, 16, 0.0),
+    ])
+    def test_matches_dense(self, bound, h, density):
+        from nerfstyle_tpu.ops.marching import OccField
+        from nerfstyle_tpu.ops.occupancy import skipdist_from_bitfield
+
+        rng = np.random.default_rng(42)
+        plan = _make_plan(16, bound=bound, h=h, max_steps=64)
+        bits = jnp.asarray(rng.random(plan.cascade * h**3) < density)
+        sd = skipdist_from_bitfield(bits, h)
+
+        o = rng.normal(size=(16, 3)).astype(np.float32) * (1.5 * bound)
+        d = rng.normal(size=(16, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        rays = make_rays(jnp.asarray(o), jnp.asarray(d))
+        nears, fars = near_far_from_aabb(rays.origins, rays.dirs, plan.aabb, plan.min_near)
+
+        dense = march_rays(plan, bits, rays, nears, fars)
+        adapt = march_rays(plan, OccField(bits, sd), rays, nears, fars)
+
+        np.testing.assert_array_equal(np.asarray(dense.valid), np.asarray(adapt.valid))
+        np.testing.assert_array_equal(np.asarray(dense.ray_id), np.asarray(adapt.ray_id))
+        np.testing.assert_allclose(
+            np.asarray(dense.xyz), np.asarray(adapt.xyz), rtol=1e-6, atol=1e-6
+        )
+        assert int(dense.num_kept) == int(adapt.num_kept)
+
+    def test_skipdist_semantics(self):
+        from nerfstyle_tpu.ops.occupancy import SKIP_DMAX, skipdist_from_bitfield
+
+        h = 16
+        bits = np.zeros((h, h, h), bool)
+        bits[8, 8, 8] = True
+        sd = np.asarray(skipdist_from_bitfield(jnp.asarray(bits.reshape(-1)), h)).reshape(h, h, h)
+        assert sd[8, 8, 8] == 0
+        assert sd[8, 8, 9] == 1 and sd[9, 9, 9] == 1  # L-inf metric
+        assert sd[8, 8, 11] == 3
+        assert sd[0, 0, 0] == min(8, SKIP_DMAX)
