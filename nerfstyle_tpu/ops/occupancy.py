@@ -52,6 +52,36 @@ class OccupancyState(NamedTuple):
 SKIP_DMAX = 15  # cap on stored skip distance (cells)
 
 
+class PersistedOccupancy(NamedTuple):
+    """Checkpoint form of OccupancyState: exactly the reference's persisted
+    fields (renderer.py:78-91) in the original leaf order — ``skipdist`` is
+    derived data and is rebuilt on load, keeping checkpoints stable across
+    marching-implementation changes."""
+
+    density_grid: jnp.ndarray
+    bitfield: jnp.ndarray
+    mean_density: jnp.ndarray
+    mean_count: jnp.ndarray
+    local_step: jnp.ndarray
+
+
+def occupancy_persistable(s: "OccupancyState") -> PersistedOccupancy:
+    return PersistedOccupancy(
+        s.density_grid, s.bitfield, s.mean_density, s.mean_count, s.local_step
+    )
+
+
+def occupancy_restore(p: PersistedOccupancy, grid_size: int) -> "OccupancyState":
+    return OccupancyState(
+        density_grid=p.density_grid,
+        bitfield=p.bitfield,
+        skipdist=skipdist_from_bitfield(p.bitfield, grid_size),
+        mean_density=p.mean_density,
+        mean_count=p.mean_count,
+        local_step=p.local_step,
+    )
+
+
 def _dilate3(occ: jnp.ndarray) -> jnp.ndarray:
     """3x3x3 binary dilation of [cascade, H, H, H], non-wrapping."""
     for ax in (1, 2, 3):

@@ -28,14 +28,14 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.cameras import generate_rays
 from ..core.types import BBox, Box2D, Intrinsics, RayBundle
 from ..models.fields import FieldSpec, Params, field_apply, field_density
 from ..ops.aabb import near_far_from_aabb
 from ..ops.compositing import composite_rays
-from ..ops.marching import MarchPlan, march_rays
-from ..ops.marching import OccField
+from ..ops.marching import MarchPlan, OccField, march_rays, march_rays_round
 from ..ops.occupancy import (
     OccupancyState,
     occupancy_init,
@@ -129,6 +129,197 @@ def render_rays(
         "weights_sum": out.weights_sum,
         "num_points": samples.num_kept,
     }
+
+
+def make_render_round(
+    field_spec: FieldSpec,
+    plan: MarchPlan,
+    t_thresh: float,
+    density_scale: float,
+    compute_dtype=jnp.float32,
+    round_size: int = 32,
+):
+    """Jitted one-round incremental renderer (TPU rebuild of the reference's
+    alive-ray inference loop, renderer.py:237-293 + raymarching.cu:1005-1239).
+
+    Unlike the budgeted training path, inference must never truncate a ray's
+    samples (the CUDA loop retires rays only on T < thresh).  Each round
+    marches every ray up to ``round_size`` further occupied lattice points,
+    evaluates the field on the [N, S] slots, and folds them into carried
+    (T, image, depth, weights) accumulators; the caller loops rounds until no
+    ray is alive.  Field evaluations total exactly the samples the reference
+    evaluates — no budget bias, early termination exploited.
+    """
+    dt, t_lat = plan.dt, plan.t_lattice
+    n, s = plan.num_rays, round_size
+
+    @jax.jit
+    def round_fn(params, skipdist, bbox, origins, dirs, nears, fars,
+                 k_start, trans_in, acc_img, acc_depth, acc_ws):
+        rays = RayBundle(origins, dirs)
+        ks, k_next, emitted = march_rays_round(
+            plan, skipdist, rays, nears, fars, k_start, s
+        )
+        t = nears[:, None] + ks.astype(jnp.float32) * dt  # [N, S]
+        valid = ks < t_lat
+        xyz = origins[:, None, :] + dirs[:, None, :] * t[..., None]
+        xyz = jnp.clip(xyz, -plan.bound, plan.bound)
+        dirs_rep = jnp.broadcast_to(dirs[:, None, :], (n, s, 3))
+
+        rgbs, sigmas = field_apply(
+            field_spec, params, bbox, xyz.reshape(-1, 3), dirs_rep.reshape(-1, 3),
+            compute_dtype=compute_dtype,
+        )
+        c = rgbs.shape[-1]
+        sdt = jnp.where(valid, sigmas.reshape(n, s) * density_scale * dt, 0.0)
+        alpha = 1.0 - jnp.exp(-sdt)
+        excl = jnp.cumsum(sdt, axis=1) - sdt
+        trans = trans_in[:, None] * jnp.exp(-excl)  # T entering each sample
+        included = trans >= t_thresh  # early stop (raymarching.cu:1218-1227)
+        w = alpha * trans * included.astype(sdt.dtype)
+
+        acc_img = acc_img + jnp.sum(w[..., None] * rgbs.reshape(n, s, c), axis=1)
+        tau = t + dt - nears[:, None]
+        acc_depth = acc_depth + jnp.sum(w * tau, axis=1)
+        acc_ws = acc_ws + jnp.sum(w, axis=1)
+        trans_out = trans_in * jnp.exp(-jnp.sum(sdt, axis=1))
+        # A ray stays alive iff it still transmits AND its span continues.
+        alive = (trans_out >= t_thresh) & (emitted >= s)
+        return k_next, trans_out, acc_img, acc_depth, acc_ws, alive, emitted
+
+    return round_fn
+
+
+def make_incremental_renderer(
+    field_spec: FieldSpec,
+    base_plan: MarchPlan,
+    t_thresh: float,
+    density_scale: float,
+    compute_dtype=jnp.float32,
+    round_size: int = 32,
+    min_bucket: int = 256,
+):
+    """Incremental inference renderer with ALIVE-RAY COMPACTION.
+
+    The reference inference loop shrinks work to n_alive rays every round
+    (renderer.py:266-285).  The TPU equivalent: each round gathers alive rays
+    into the smallest power-of-2 bucket (static shape per compile), runs one
+    march+field+composite round on the bucket, and scatters the deltas back.
+    After round 1 typically only surface-hitting rays remain (background rays
+    exhaust their span immediately), so field evaluations track the
+    reference's n_alive work, not num_rays x rounds.
+
+    Returns ``render(params, skipdist, bbox, rays, channels) -> outputs``.
+    """
+    import dataclasses
+    from functools import partial
+
+    round_cache = {}
+    mega_cache = {}
+
+    def round_fn_for(bucket: int):
+        if bucket not in round_cache:
+            plan_b = dataclasses.replace(base_plan, num_rays=bucket, budget=1)
+            round_cache[bucket] = make_render_round(
+                field_spec, plan_b, t_thresh, density_scale, compute_dtype,
+                round_size,
+            )
+        return round_cache[bucket]
+
+    def _bucket(cnt: int, n: int) -> int:
+        b = min_bucket
+        while b < cnt:
+            b *= 2
+        return min(b, max(n, min_bucket))
+
+    def mega_round_for(bucket: int, channels: int):
+        """One fully-jitted round: compact alive rays into the bucket, march +
+        field + composite, scatter deltas back.  ONE host fetch (alive count)
+        per round — eager per-round glue costs minutes over the remote
+        tunnel."""
+        key = (bucket, channels)
+        if key in mega_cache:
+            return mega_cache[key]
+        rf_inner = round_fn_for(bucket)  # jit-of-jit traces through
+
+        @jax.jit
+        def mega(params, skipdist, bbox, origins, dirs, nears, fars,
+                 k, trans, acc_img, acc_depth, acc_ws, alive):
+            n = origins.shape[0]
+            cnt = jnp.sum(alive, dtype=jnp.int32)
+            idx = jnp.flatnonzero(alive, size=bucket, fill_value=n)
+            slot_ok = jnp.arange(bucket) < cnt
+            safe = jnp.minimum(idx, n - 1)
+            k_b, trans_b, img_b, depth_b, ws_b, alive_b, emitted_b = rf_inner(
+                params, skipdist, bbox,
+                origins[safe], dirs[safe], nears[safe], fars[safe],
+                k[safe], trans[safe],
+                jnp.zeros((bucket, acc_img.shape[1]), jnp.float32),
+                jnp.zeros((bucket,), jnp.float32),
+                jnp.zeros((bucket,), jnp.float32),
+            )
+            acc_img = acc_img.at[idx].add(
+                jnp.where(slot_ok[:, None], img_b, 0.0), mode="drop"
+            )
+            acc_depth = acc_depth.at[idx].add(
+                jnp.where(slot_ok, depth_b, 0.0), mode="drop"
+            )
+            acc_ws = acc_ws.at[idx].add(jnp.where(slot_ok, ws_b, 0.0), mode="drop")
+            k = k.at[idx].set(jnp.where(slot_ok, k_b, k[safe]), mode="drop")
+            trans = trans.at[idx].set(
+                jnp.where(slot_ok, trans_b, trans[safe]), mode="drop"
+            )
+            alive = alive.at[idx].set(
+                jnp.where(slot_ok, alive_b, False), mode="drop"
+            )
+            pts = jnp.sum(jnp.where(slot_ok, emitted_b, 0))
+            stats = jnp.stack([jnp.sum(alive, dtype=jnp.int32), pts])
+            return k, trans, acc_img, acc_depth, acc_ws, alive, stats
+
+        mega_cache[key] = mega
+        return mega
+
+    def render(params, skipdist, bbox, rays: RayBundle, channels: int):
+        n = rays.origins.shape[0]
+        nears, fars = near_far_from_aabb(
+            rays.origins, rays.dirs, base_plan.aabb, base_plan.min_near
+        )
+        k = jnp.zeros((n,), jnp.int32)
+        trans = jnp.ones((n,), jnp.float32)
+        acc_img = jnp.zeros((n, channels), jnp.float32)
+        acc_depth = jnp.zeros((n,), jnp.float32)
+        acc_ws = jnp.zeros((n,), jnp.float32)
+        alive = jnp.ones((n,), jnp.bool_)
+        num_points = 0
+        cnt = n
+        max_rounds = max(1, base_plan.max_steps // round_size)
+        for _ in range(max_rounds):
+            if cnt == 0:
+                break
+            bucket = _bucket(cnt, n)
+            mega = mega_round_for(bucket, channels)
+            k, trans, acc_img, acc_depth, acc_ws, alive, stats = mega(
+                params, skipdist, bbox, rays.origins, rays.dirs, nears, fars,
+                k, trans, acc_img, acc_depth, acc_ws, alive,
+            )
+            stats = np.asarray(stats)  # the single host fetch per round
+            cnt, pts = int(stats[0]), int(stats[1])
+            num_points += pts
+
+        rgb = acc_img[:, :3] + (1.0 - acc_ws)[:, None]
+        # identical post-processing to render_rays (white bg, depth normalize)
+        depth = jnp.clip(acc_depth - nears, min=0.0) / jnp.maximum(
+            fars - nears, 1e-10
+        )
+        return {
+            "rgb_map": rgb,
+            "trans_map": depth,
+            "classes": acc_img[:, 3:],
+            "weights_sum": acc_ws,
+            "num_points": num_points,
+        }
+
+    return render
 
 
 class Renderer:
@@ -288,6 +479,22 @@ class Renderer:
         return self._render_fn(plan)(params, self.occ_field, self.bbox,
                                      rays.origins, rays.dirs)
 
+    def render_ray_batch_incremental(
+        self, params: Params, rays: RayBundle, round_size: int = 32
+    ) -> Dict[str, jnp.ndarray]:
+        """Inference path without budget truncation (see make_render_round)."""
+        key = ("incremental", round_size)
+        if key not in self._render_jit_cache:
+            plan = self.make_plan(1, budget=1)  # num_rays re-bucketed inside
+            self._render_jit_cache[key] = make_incremental_renderer(
+                self.field_spec, plan, self.settings.t_thresh,
+                self.settings.density_scale, self.compute_dtype, round_size,
+            )
+        return self._render_jit_cache[key](
+            params, self.occ_state.skipdist, self.bbox, rays,
+            self.raymarch_channels,
+        )
+
     def render(
         self,
         params: Params,
@@ -323,9 +530,13 @@ class Renderer:
             )
             pieces = []
             for i in range(0, n + pad, chunk):
-                pieces.append(
-                    self.render_ray_batch(params, RayBundle(o[i : i + chunk], d[i : i + chunk]))
-                )
+                piece_rays = RayBundle(o[i : i + chunk], d[i : i + chunk])
+                if self.settings.adaptive_march:
+                    pieces.append(
+                        self.render_ray_batch_incremental(params, piece_rays)
+                    )
+                else:
+                    pieces.append(self.render_ray_batch(params, piece_rays))
             out = {
                 k: jnp.concatenate([p[k] for p in pieces])[:n]
                 for k in ("rgb_map", "trans_map", "classes", "weights_sum")

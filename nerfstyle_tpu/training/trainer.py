@@ -51,6 +51,7 @@ from ..losses.recon import (
 )
 from ..models.fields import field_apply, field_density, field_init, make_grid_spec, style_field_spec
 from ..ops.marching import OccField
+from ..ops.occupancy import occupancy_persistable, occupancy_restore
 from ..render.renderer import Renderer, RenderSettings, render_rays
 from ..training import checkpoint as ckpt_lib
 from ..training.ema import EmaState, ema_init, ema_params, ema_update
@@ -560,15 +561,18 @@ class Trainer:
             "params": self.params,
             "opt_state": self.opt_state,
             "ema": self.ema_state,
-            "occ": self.renderer.occ_state,
+            "occ": occupancy_persistable(self.renderer.occ_state),
         }
         ckpt_lib.save_checkpoint(path, meta, trees)
         self.logger.info("Saved checkpoint at %s", path)
 
     def _restore(self, meta: Dict, groups: Dict, load_model_only: bool):
         self.params = ckpt_lib.restore_tree(self.params, groups["params"])
-        self.renderer.occ_state = ckpt_lib.restore_tree(
-            self.renderer.occ_state, groups["occ"]
+        self.renderer.occ_state = occupancy_restore(
+            ckpt_lib.restore_tree(
+                occupancy_persistable(self.renderer.occ_state), groups["occ"]
+            ),
+            self.settings.grid_size,
         )
         self.renderer._mean_count_host = int(self.renderer.occ_state.mean_count)
         self.renderer._local_step_host = int(self.renderer.occ_state.local_step)

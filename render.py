@@ -107,7 +107,12 @@ def main() -> None:
         raymarch_channels=3 + train_set.num_classes,
         compute_dtype=jnp.bfloat16 if train_cfg.enable_amp else jnp.float32,
     )
-    renderer.occ_state = ckpt_lib.restore_tree(renderer.occ_state, groups["occ"])
+    from nerfstyle_tpu.ops.occupancy import occupancy_persistable, occupancy_restore
+
+    renderer.occ_state = occupancy_restore(
+        ckpt_lib.restore_tree(occupancy_persistable(renderer.occ_state), groups["occ"]),
+        settings.grid_size,
+    )
     renderer._mean_count_host = int(renderer.occ_state.mean_count)
     renderer.update_occ = False
 
