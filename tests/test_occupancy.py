@@ -168,3 +168,36 @@ class TestGeometryTypes:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+class TestPersistedOccupancy:
+    def test_skipdist_not_persisted_and_rebuilt(self):
+        """Checkpoints carry exactly the reference's occupancy fields
+        (renderer.py:78-91); skipdist is derived and must be rebuilt
+        identically on restore."""
+        import jax
+        from nerfstyle_tpu.ops.occupancy import (
+            OccupancyState,
+            occupancy_init,
+            occupancy_persistable,
+            occupancy_restore,
+            skipdist_from_bitfield,
+        )
+
+        h = 16
+        state = occupancy_init(1, h)
+        rng = np.random.default_rng(0)
+        bits = jnp.asarray(rng.random(h**3) < 0.2)
+        state = state._replace(
+            bitfield=bits, skipdist=skipdist_from_bitfield(bits, h)
+        )
+        p = occupancy_persistable(state)
+        leaves = jax.tree_util.tree_leaves(p)
+        assert len(leaves) == 5  # format parity: no skipdist leaf
+        restored = occupancy_restore(p, h)
+        np.testing.assert_array_equal(
+            np.asarray(restored.skipdist), np.asarray(state.skipdist)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(restored.bitfield), np.asarray(state.bitfield)
+        )
