@@ -309,6 +309,10 @@ class BaseConfig(Config):
     style_image: Optional[Path] = None
     """If provided, model will perform style transfer on this image."""
 
+    yes: bool = False
+    """Assume yes for confirmation prompts (e.g. cleaning a non-empty log
+    directory); without it, non-interactive runs abort instead of deleting."""
+
 
 @dataclass
 class ReplicaConfig(Config):

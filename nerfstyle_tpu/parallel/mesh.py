@@ -45,11 +45,116 @@ from ..ops.aabb import near_far_from_aabb
 from ..ops.marching import MarchPlan, march_rays
 
 
+shard_map = _shard_map
+
+
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis,))
+
+
+def local_plan(plan_global: MarchPlan, n_dev: int) -> MarchPlan:
+    """Per-device MarchPlan: rays and compaction budget split evenly."""
+    assert plan_global.num_rays % n_dev == 0
+    assert plan_global.budget % n_dev == 0
+    import dataclasses
+
+    return dataclasses.replace(
+        plan_global,
+        num_rays=plan_global.num_rays // n_dev,
+        budget=plan_global.budget // n_dev,
+    )
+
+
+def build_sharded_loss_terms(
+    mesh: Mesh,
+    spec: FieldSpec,
+    plan_global: MarchPlan,
+    t_thresh: float,
+    density_scale: float,
+    compute_dtype=jnp.float32,
+    with_class: bool = False,
+    sparsity_exp_coeff: float = 0.0,
+    field_density_fn: Optional[Callable] = None,
+) -> Callable:
+    """Sharded per-ray loss SUMS for the production trainer.
+
+    Returns ``terms(params, bitfield, bbox, origins, dirs, targets,
+    sparse_pts) -> dict`` where every entry is already psum-reduced over the
+    mesh: ``sq`` (sum of squared rgb error), ``num_points``, and optionally
+    ``nll``/``n_lab`` (class CE sum + valid-label count) and ``sp`` (sparsity
+    sum over ``sparse_pts``).  The trainer turns sums into means so sharded
+    and single-device losses agree bit-for-bit up to reduction order.
+
+    Rays, targets and sparsity points shard on the batch axis; params and the
+    occupancy bitfield replicate (SURVEY.md section 2.3: DP-over-rays is the
+    complete strategy for this model family).
+    """
+    n_dev = mesh.devices.size
+    plan_l = local_plan(plan_global, n_dev)
+
+    def shard_fn(params, bitfield, bbox, origins, dirs, targets, sparse_pts):
+        rgb, classes, _ws, n_kept = _render_shard(
+            spec, plan_l, t_thresh, density_scale, compute_dtype,
+            params, bitfield, bbox, origins, dirs,
+        )
+        terms = {
+            "sq": jnp.sum((rgb - targets[:, :3]) ** 2),
+            "num_points": n_kept,
+        }
+        if with_class and spec.class_dim > 0:
+            labels = targets[:, 3].astype(jnp.int32)
+            mask = labels != -1
+            safe = jnp.where(mask, labels, 0)
+            logp = jax.nn.log_softmax(classes, axis=-1)
+            nll = -jnp.take_along_axis(logp, safe[:, None], axis=-1)[:, 0]
+            terms["nll"] = jnp.sum(jnp.where(mask, nll, 0.0))
+            terms["n_lab"] = jnp.sum(mask, dtype=jnp.int32)
+        if sparsity_exp_coeff > 0.0 and field_density_fn is not None:
+            sig = field_density_fn(params, bbox, sparse_pts)
+            terms["sp"] = jnp.sum(jnp.abs(1.0 - jnp.exp(-sparsity_exp_coeff * sig)))
+        return jax.tree_util.tree_map(
+            lambda x: jax.lax.psum(x, "data"), terms
+        )
+
+    return _shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P("data"), P("data"), P("data"), P("data")),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+
+def build_sharded_density_fn(
+    mesh: Mesh,
+    density_fn: Callable,
+) -> Callable:
+    """Shard a pointwise density evaluation over cells/points (axis 0).
+
+    ``density_fn(params, pts) -> sigmas``; the returned function has the same
+    signature and splits ``pts`` across the mesh — the occupancy-grid sweep is
+    embarrassingly parallel over cells (reference renderer.py:142-181).
+    Falls back to the unsharded call when the point count does not divide the
+    device count.
+    """
+    n_dev = mesh.devices.size
+    sharded = _shard_map(
+        density_fn,
+        mesh=mesh,
+        in_specs=(P(), P("data")),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+
+    def f(params, pts):
+        if pts.shape[0] % n_dev != 0:
+            return density_fn(params, pts)
+        return sharded(params, pts)
+
+    return f
 
 
 def _render_shard(

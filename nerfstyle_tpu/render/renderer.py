@@ -41,7 +41,6 @@ from ..ops.occupancy import (
     occupancy_init,
     occupancy_update_full,
     occupancy_update_random,
-    skipdist_from_bitfield,
     update_mean_count,
 )
 
@@ -354,8 +353,12 @@ class Renderer:
         self.bbox = params_template_bbox
         self.raymarch_channels = raymarch_channels
         self.precrop_frac = precrop_frac
-        self.use_precrop = False
         self.compute_dtype = compute_dtype
+
+        # Optional device mesh: when set (by the trainer), occupancy-grid
+        # density sweeps shard over cells (embarrassingly parallel,
+        # reference renderer.py:142-181).
+        self.mesh = None
 
         self.cascade = cascade_for_bound(self.bound)
         self.occ_state: OccupancyState = occupancy_init(self.cascade, settings.grid_size)
@@ -380,10 +383,15 @@ class Renderer:
     def _sigma_fn(self, params: Params):
         spec, bbox, dtype = self.field_spec, self.bbox, self.compute_dtype
 
-        def f(pts):
-            return field_density(spec, params, bbox, pts, compute_dtype=dtype)
+        def density(p, pts):
+            return field_density(spec, p, bbox, pts, compute_dtype=dtype)
 
-        return f
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            from ..parallel.mesh import build_sharded_density_fn
+
+            sharded = build_sharded_density_fn(self.mesh, density)
+            return lambda pts: sharded(params, pts)
+        return lambda pts: density(params, pts)
 
     def update_state(self, params: Params, key: jax.Array) -> None:
         """Periodic occupancy refresh; full sweep early, random later
@@ -511,9 +519,10 @@ class Renderer:
         Training: subsample ``num_rays`` pixels.  Inference: render every grid
         pixel, chunked to bound memory (replaces the alive-ray loop).
         """
-        precrop = self.precrop_frac if self.use_precrop else 1.0
+        # Precrop is handled by the trainer's step cache (training/trainer.py
+        # _build_train_step); this surface always renders the full window.
         rays, target = generate_rays(
-            pose, self.intr, image, patch=patch, precrop=precrop,
+            pose, self.intr, image, patch=patch,
             num_rays=num_rays, camera_flip=self.settings.flip_camera, key=key,
         )
         output: Dict[str, jnp.ndarray] = {"target": target}
@@ -549,49 +558,29 @@ class Renderer:
     # ---- checkpoint interop (renderer.py:78-107) ----
 
     def state_dict_static(self) -> Dict[str, object]:
-        """JSON-serializable validation fields (renderer.py:80-81,94-97)."""
+        """JSON-serializable renderer state for the checkpoint meta
+        (renderer.py:80-81,94-97): validation fields plus the tuned compaction
+        bucket.  The bucket must survive the recon -> style -> render chain,
+        or downstream stages size their ray budgets at the max bucket
+        (256/ray) and OOM on full-frame evals."""
         return {
             "intr": self.intr.asdict(),
             "precrop_frac": self.precrop_frac,
             "raymarch_channels": self.raymarch_channels,
             "bound": self.bound,
-        }
-
-    def state_dict(self) -> Dict[str, object]:
-        s = self.occ_state
-        return {
-            "intr": self.intr.asdict(),
-            "precrop_frac": self.precrop_frac,
-            "raymarch_channels": self.raymarch_channels,
-            "bound": self.bound,
-            "density_grid": s.density_grid,
-            "bitfield": s.bitfield,
-            "mean_count": s.mean_count,
-            "mean_density": s.mean_density,
-            "local_step": s.local_step,
-            # TPU-specific: the tuned compaction bucket must survive the
-            # recon -> style -> render chain, or downstream stages render at
-            # the max bucket (256/ray) and OOM on full-frame evals.
             "budget_bucket": self._budget_bucket,
             "last_num_rays": self._last_num_rays,
         }
 
-    def load_state_dict(self, sd: Dict[str, object]) -> None:
-        for k in ("precrop_frac", "raymarch_channels", "bound"):
+    def load_state_dict_static(self, sd: Dict[str, object]) -> None:
+        """Restore host-side tuning from checkpoint meta; validates scalar
+        compatibility fields the way the reference load_state_dict does
+        (renderer.py:93-97)."""
+        for k in ("raymarch_channels", "bound"):
             if k in sd and not _close(getattr(self, k), sd[k]):
-                raise ValueError(f'checkpoint mismatch for "{k}": {sd[k]} vs {getattr(self, k)}')
-        bitfield = jnp.asarray(sd["bitfield"])
-        self.occ_state = OccupancyState(
-            density_grid=jnp.asarray(sd["density_grid"]),
-            bitfield=bitfield,
-            # Derived, not persisted: rebuild the skip-distance field.
-            skipdist=skipdist_from_bitfield(bitfield, self.settings.grid_size),
-            mean_density=jnp.asarray(sd["mean_density"]),
-            mean_count=jnp.asarray(sd["mean_count"]),
-            local_step=jnp.asarray(sd["local_step"]),
-        )
-        self._mean_count_host = int(self.occ_state.mean_count)
-        self._local_step_host = int(self.occ_state.local_step)
+                raise ValueError(
+                    f'checkpoint mismatch for "{k}": {sd[k]} vs {getattr(self, k)}'
+                )
         if "budget_bucket" in sd:
             self._budget_bucket = min(
                 int(sd["budget_bucket"]), self.settings.max_samples_per_ray

@@ -51,6 +51,11 @@ from ..losses.recon import (
 )
 from ..models.fields import field_apply, field_density, field_init, make_grid_spec, style_field_spec
 from ..ops.marching import OccField
+from ..parallel.mesh import (
+    build_sharded_density_fn,
+    build_sharded_loss_terms,
+    make_mesh,
+)
 from ..ops.occupancy import occupancy_persistable, occupancy_restore
 from ..render.renderer import Renderer, RenderSettings, render_rays
 from ..training import checkpoint as ckpt_lib
@@ -93,8 +98,12 @@ class Trainer:
         cfg: BaseConfig,
         nargs: List[str],
         load_model_only: bool = False,
-        assume_yes: bool = True,
+        assume_yes: Optional[bool] = None,
     ):
+        # CLI runs take the confirmation policy from --yes; programmatic
+        # callers may override explicitly.
+        if assume_yes is None:
+            assume_yes = bool(getattr(cfg, "yes", False))
         self.logger = utils.create_logger(type(self).__name__)
         self.iter_ctr = 0
         self.time0 = 0.0
@@ -221,6 +230,27 @@ class Trainer:
             compute_dtype=self.compute_dtype,
         )
 
+        # -- device mesh (DP over rays; SURVEY.md section 2.3) --
+        # The reference is hardcoded single-GPU; here every device in the
+        # slice shards the ray batch, params replicate, and jax.grad's psum
+        # is the only collective.  Single-device runs skip shard_map.
+        self.mesh = None
+        n_dev = jax.device_count()
+        if n_dev > 1:
+            if self.train_cfg.num_rays_per_batch % n_dev == 0:
+                self.mesh = make_mesh()
+                self.renderer.mesh = self.mesh
+                self.logger.info(
+                    "Data-parallel over %d devices (rays sharded, params "
+                    "replicated)", n_dev,
+                )
+            else:
+                self.logger.warning(
+                    "num_rays_per_batch (%d) does not divide %d devices; "
+                    "running single-device",
+                    self.train_cfg.num_rays_per_batch, n_dev,
+                )
+
         # -- optimizer + EMA (base.py:185-229) --
         self._reset_optim(self.OPTIM_KEYS)
         self.ema_state: EmaState = ema_init(self.params)
@@ -323,43 +353,93 @@ class Trainer:
         optim = self.optim
         ema_decay = tc.ema_decay
         dtype = self.compute_dtype
+        has_seg = spec.class_dim > 0 and self._images_dev.shape[1] == 4
+
+        # Mesh path: per-ray loss SUMS shard over devices; psum makes every
+        # device agree, jax.grad through the shard_map yields replicated
+        # grads with one all-reduce (parallel/mesh.py).
+        mesh = self.mesh
+        n_dev = mesh.devices.size if mesh is not None else 1
+        sharded_terms = None
+        n_sparse = tc.sparsity_samples
+        if mesh is not None and plan.budget % n_dev == 0:
+            n_sparse = max(1, tc.sparsity_samples // n_dev) * n_dev
+
+            def _density_fn(p, bb, pts):
+                return field_density(spec, p, bb, pts, compute_dtype=dtype)
+
+            sharded_terms = build_sharded_loss_terms(
+                mesh, spec, plan, settings.t_thresh, settings.density_scale,
+                dtype, with_class=has_seg,
+                sparsity_exp_coeff=(
+                    tc.sparsity_exp_coeff if tc.sparsity_lambda > 0.0 else 0.0
+                ),
+                field_density_fn=_density_fn,
+            )
 
         def loss_fn(params, bitfield, image, pose, key):
             k_pix, k_sparse = jax.random.split(key)
-            # On-device pixel subsampling (replaces nerf_lib.py:134's
-            # np.random.choice without replacement).
-            idx = jax.random.choice(k_pix, gh * gw, shape=(num_rays,), replace=False)
+            # On-device pixel subsampling.  WITH replacement (randint) instead
+            # of the reference's without-replacement choice (nerf_lib.py:134):
+            # choice(replace=False) is a full [gh*gw] permutation sort in the
+            # hot loop, and at ~2% sampling the distributions are
+            # indistinguishable for SGD.
+            idx = jax.random.randint(k_pix, (num_rays,), 0, gh * gw)
             gy, gx = idx // gw, idx % gw
             dirs_cam = cam_dirs[idx]
             rays_d = dirs_cam @ pose[:3, :3].T
             rays = make_rays(pose[:3, 3], rays_d)
             target = image[:, pix_y[gy], pix_x[gx]].T  # [K, C(+1)]
 
-            out = render_rays(
-                spec, plan, params, bitfield, bbox, rays,
-                settings.t_thresh, settings.density_scale, dtype,
-            )
-
-            rgb_target = target[:, :3]
             losses = {}
-            mse = mse_loss(out["rgb_map"], rgb_target)
-            losses["mse"] = mse
-            losses["psnr"] = utils.compute_psnr(mse)
-            total = mse
+            if sharded_terms is not None:
+                if tc.sparsity_lambda > 0.0:
+                    pts = jax.random.uniform(k_sparse, (n_sparse, 3))
+                    pts = pts * bbox.size + bbox.min_pt
+                else:
+                    pts = jnp.zeros((n_dev, 3), jnp.float32)
+                terms = sharded_terms(
+                    params, bitfield, bbox, rays.origins, rays.dirs, target, pts
+                )
+                num_points = terms["num_points"]
+                mse = terms["sq"] / (3.0 * num_rays)
+                losses["mse"] = mse
+                losses["psnr"] = utils.compute_psnr(mse)
+                total = mse
+                if has_seg:
+                    class_l = (
+                        terms["nll"] / jnp.maximum(terms["n_lab"], 1)
+                    ) * tc.class_lambda
+                    losses["class"] = class_l
+                    total = total + class_l
+                if tc.sparsity_lambda > 0.0:
+                    sp = terms["sp"] / n_sparse * tc.sparsity_lambda
+                    losses["sparsity"] = sp
+                    total = total + sp
+            else:
+                out = render_rays(
+                    spec, plan, params, bitfield, bbox, rays,
+                    settings.t_thresh, settings.density_scale, dtype,
+                )
+                num_points = out["num_points"]
+                mse = mse_loss(out["rgb_map"], target[:, :3])
+                losses["mse"] = mse
+                losses["psnr"] = utils.compute_psnr(mse)
+                total = mse
 
-            if spec.class_dim > 0 and target.shape[1] == 4:
-                labels = target[:, 3].astype(jnp.int32)
-                class_l = cross_entropy_ignore(out["classes"], labels) * tc.class_lambda
-                losses["class"] = class_l
-                total = total + class_l
+                if spec.class_dim > 0 and target.shape[1] == 4:
+                    labels = target[:, 3].astype(jnp.int32)
+                    class_l = cross_entropy_ignore(out["classes"], labels) * tc.class_lambda
+                    losses["class"] = class_l
+                    total = total + class_l
 
-            if tc.sparsity_lambda > 0.0:
-                pts = jax.random.uniform(k_sparse, (tc.sparsity_samples, 3))
-                pts = pts * bbox.size + bbox.min_pt
-                sig = field_density(spec, params, bbox, pts, compute_dtype=dtype)
-                sp = sparsity_loss(sig, tc.sparsity_exp_coeff) * tc.sparsity_lambda
-                losses["sparsity"] = sp
-                total = total + sp
+                if tc.sparsity_lambda > 0.0:
+                    pts = jax.random.uniform(k_sparse, (tc.sparsity_samples, 3))
+                    pts = pts * bbox.size + bbox.min_pt
+                    sig = field_density(spec, params, bbox, pts, compute_dtype=dtype)
+                    sp = sparsity_loss(sig, tc.sparsity_exp_coeff) * tc.sparsity_lambda
+                    losses["sparsity"] = sp
+                    total = total + sp
 
             if tc.weight_reg_lambda > 0.0:
                 wr = weight_reg_loss(params) * tc.weight_reg_lambda
@@ -367,7 +447,7 @@ class Trainer:
                 total = total + wr
 
             losses["total"] = total
-            return total, (losses, out["num_points"])
+            return total, (losses, num_points)
 
         @jax.jit
         def step(params, opt_state, ema_state, bitfield, image, pose, key):
@@ -576,6 +656,10 @@ class Trainer:
         )
         self.renderer._mean_count_host = int(self.renderer.occ_state.mean_count)
         self.renderer._local_step_host = int(self.renderer.occ_state.local_step)
+        # Host-side renderer tuning (compaction bucket) rides the meta dict so
+        # the style stage and render CLI size their budgets from the recon run.
+        if "renderer_static" in meta:
+            self.renderer.load_state_dict_static(meta["renderer_static"])
         if not load_model_only:
             self.opt_state = ckpt_lib.restore_tree(self.opt_state, groups["opt_state"])
             self.ema_state = ckpt_lib.restore_tree(self.ema_state, groups["ema"])

@@ -333,9 +333,15 @@ def rmtree(path: Path) -> None:
 
 
 def prompt_bool(msg: str, assume_yes: bool = False) -> bool:
-    """Interactive Y/N guard for destructive ops (utils/__init__.py:467-474)."""
-    if assume_yes or not sys.stdin.isatty():
+    """Interactive Y/N guard for destructive ops (utils/__init__.py:467-474).
+
+    Non-interactive runs (no TTY) answer NO unless ``assume_yes`` — a silent
+    yes would let a batch job wipe a non-empty directory."""
+    if assume_yes:
         return True
+    if not sys.stdin.isatty():
+        print(f"{msg} — no TTY; answering no (pass --yes to confirm).")
+        return False
     result = None
     while result not in ("y", "n"):
         result = input(msg + " (Y/N) ").lower()

@@ -41,6 +41,8 @@ def main() -> None:
                         help="render resolution W H (rescales intrinsics)")
     parser.add_argument("--max-count", type=int, default=None)
     parser.add_argument("--depth", action="store_true", help="also save depth maps")
+    parser.add_argument("--yes", action="store_true",
+                        help="assume yes for confirmation prompts")
     args = parser.parse_args()
 
     meta, groups = ckpt_lib.load_checkpoint(args.ckpt_path)
@@ -53,6 +55,16 @@ def main() -> None:
     if out_dir is None:
         out_dir = Path(meta["log_dir"]) / f"render_{args.ckpt_path.stem}"
     out_dir.mkdir(parents=True, exist_ok=True)
+    # Overwrite guard for a non-empty output dir (reference render.py:51-57).
+    if next(out_dir.iterdir(), None) is not None:
+        if utils.prompt_bool(
+            f'Output directory "{out_dir}" is not empty. Clean directory?',
+            assume_yes=args.yes,
+        ):
+            utils.rmtree(out_dir)
+            out_dir.mkdir()
+        else:
+            logger.info("Keeping existing files; renders may mix with them.")
 
     # Train split only for num_classes (render.py:60-65), then the test poses.
     train_set = get_dataset(dataset_cfg, split=DatasetSplit.TRAIN)
@@ -114,6 +126,9 @@ def main() -> None:
         settings.grid_size,
     )
     renderer._mean_count_host = int(renderer.occ_state.mean_count)
+    renderer._local_step_host = int(renderer.occ_state.local_step)
+    if "renderer_static" in meta:
+        renderer.load_state_dict_static(meta["renderer_static"])
     renderer.update_occ = False
 
     import time

@@ -48,6 +48,7 @@ def recon_ckpt(tmp_path_factory):
         trainer.run_iter()
     trainer.save_ckpt()
     ckpt = sorted(log_dir.glob("*.ckpt"))[-1]
+    recon_bucket = trainer.renderer._budget_bucket
 
     # Style assets: a gradient "painting" + 4 style clusters.
     from nerfstyle_tpu import utils
@@ -62,13 +63,13 @@ def recon_ckpt(tmp_path_factory):
     seg_path = root / "style_seg.npz"
     np.savez(seg_path, seg_map=seg)
 
-    yield root, data_cfg, ckpt, style_path, seg_path, tiny
+    yield root, data_cfg, ckpt, style_path, seg_path, tiny, recon_bucket
     shutil.rmtree(root, ignore_errors=True)
 
 
 class TestStyleStage:
     def test_style_trainer_runs_and_touches_only_color(self, recon_ckpt):
-        root, data_cfg, ckpt, style_path, seg_path, tiny = recon_ckpt
+        root, data_cfg, ckpt, style_path, seg_path, tiny, recon_bucket = recon_ckpt
         from nerfstyle_tpu.config import BaseConfig
         from nerfstyle_tpu.training.style_trainer import StyleTrainer
 
@@ -83,6 +84,9 @@ class TestStyleStage:
         ]
         st = StyleTrainer(cfg, nargs)
         assert st.train_cfg.initial_learning_rate == 0.1  # style.yaml applied
+        # The tuned compaction bucket must survive the recon -> style restore;
+        # an unrestored bucket sits at the max and OOMs full-frame patch VJPs.
+        assert st.renderer._budget_bucket == recon_bucket
 
         import jax.numpy as jnp
 
