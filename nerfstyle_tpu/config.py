@@ -460,6 +460,16 @@ class TrainConfig(Config):
     num_rays_per_batch: int = 4096
     """No. of rays to sample for each training iteration."""
 
+    profile_dir: Optional[Path] = None
+    """If set, capture a jax.profiler device trace of a window of training
+    iterations into this directory (view with TensorBoard or Perfetto)."""
+
+    profile_start: int = 8
+    """First iteration of the profiler trace window."""
+
+    profile_steps: int = 8
+    """Number of iterations the profiler trace window covers."""
+
     defer_patch_size: int = 200
     """Patch side length during deferred backpropagation for full-image losses."""
 

@@ -162,7 +162,10 @@ def field_density(
     """Density-only forward: [M, 3] -> [M] sigmas (style_nerf.py:120-127)."""
     x = _encoder_input(bbox, pts)
     emb_key = "x_density_embedder" if spec.kind == "style" else "x_embedder"
-    h = hashgrid_encode(spec.grid, params[emb_key], x)
+    h = hashgrid_encode(
+        spec.grid, params[emb_key], x,
+        bwd_pack=compute_dtype == jnp.bfloat16,
+    )
     out = mlp_apply(params["density_net"], h, compute_dtype=compute_dtype)
     return trunc_exp(out[:, 0])
 
@@ -185,7 +188,10 @@ def field_apply(
 
     if spec.kind == "style":
         if dirs is None:
-            h_density = hashgrid_encode(spec.grid, params["x_density_embedder"], x)
+            h_density = hashgrid_encode(
+                spec.grid, params["x_density_embedder"], x,
+                bwd_pack=compute_dtype == jnp.bfloat16,
+            )
             sigma_out = mlp_apply(params["density_net"], h_density, compute_dtype=compute_dtype)
             return trunc_exp(sigma_out[:, 0])
 
@@ -199,7 +205,9 @@ def field_apply(
             [params["x_density_embedder"], params["x_color_embedder"]], axis=1
         )
         c = spec.grid.level_dim
-        h = hashgrid_encode(spec.grid, fused, x)  # [B, L*2C]
+        h = hashgrid_encode(
+            spec.grid, fused, x, bwd_pack=compute_dtype == jnp.bfloat16,
+        )  # [B, L*2C]
         h3 = h.reshape(x.shape[0], spec.grid.num_levels, 2 * c)
         h_density = h3[..., :c].reshape(x.shape[0], spec.grid.output_dim)
         h_color = h3[..., c:].reshape(x.shape[0], spec.grid.output_dim)
@@ -223,7 +231,10 @@ def field_apply(
         return jnp.concatenate([rgbs, classes], axis=-1), sigmas
 
     # TCNerf (tcnn_nerf.py:126-139)
-    h = hashgrid_encode(spec.grid, params["x_embedder"], x)
+    h = hashgrid_encode(
+        spec.grid, params["x_embedder"], x,
+        bwd_pack=compute_dtype == jnp.bfloat16,
+    )
     density_out = mlp_apply(params["density_net"], h, compute_dtype=compute_dtype)
     sigmas = trunc_exp(density_out[:, 0])
     if dirs is None:

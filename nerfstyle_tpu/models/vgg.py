@@ -108,19 +108,6 @@ class VGGFeatureExtractor:
         if isinstance(keys, str):
             keys = [keys]
 
-        weights_path = _find_weights(self.kind)
-        if weights_path is not None:
-            self.params = load_torch_weights(weights_path, self.blocks, self.layers)
-            logger.info("Loaded %s weights from %s", self.kind, weights_path)
-        else:
-            self.params = _init_params(self.blocks)
-            logger.warning(
-                "No pretrained %s weights found (set NERFSTYLE_%s_WEIGHTS); "
-                "using fixed-seed random filters — style losses remain "
-                "functional but differ from VGG-pretrained behavior.",
-                self.kind, self.kind.upper(),
-            )
-
         # Parse requested keys into (out_key, [taps]) where a tap is
         # (block_idx, layer_idx_in_block, want_relu).
         import re
@@ -141,6 +128,26 @@ class VGGFeatureExtractor:
             self.keys.append((kname, taps))
 
         self._max_block = max(b for _, taps in self.keys for b, _, _ in taps)
+
+        # Only the blocks up to the deepest requested tap are ever run, so
+        # only those weights are loaded (a relu3-only extractor works with a
+        # weight file holding just blocks 1-3; the reference's
+        # create_feature_extractor truncates the graph the same way).
+        used_blocks = self.blocks[: self._max_block + 1]
+        used_layers = self.layers[: self._max_block + 1]
+        weights_path = _find_weights(self.kind)
+        if weights_path is not None:
+            self.params = load_torch_weights(weights_path, used_blocks, used_layers)
+            logger.info("Loaded %s weights from %s", self.kind, weights_path)
+        else:
+            self.params = _init_params(used_blocks)
+            logger.warning(
+                "No pretrained %s weights found (set NERFSTYLE_%s_WEIGHTS); "
+                "using fixed-seed random filters — style losses remain "
+                "functional but differ from VGG-pretrained behavior.",
+                self.kind, self.kind.upper(),
+            )
+
         self._fn = jax.jit(self._forward)
 
     def _forward(self, x_nchw: jnp.ndarray) -> Dict[Tuple[int, int, bool], jnp.ndarray]:

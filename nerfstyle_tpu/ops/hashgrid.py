@@ -361,6 +361,7 @@ def hashgrid_encode(
     x: jnp.ndarray,
     style: int = 0,
     fast_vjp: bool = True,
+    bwd_pack: bool = False,
 ) -> jnp.ndarray:
     """Encode points through all levels.
 
@@ -379,6 +380,13 @@ def hashgrid_encode(
             (they come from the non-differentiable marcher, like the
             reference's detached march outputs); set False to get full
             autodiff including d/dx.
+        bwd_pack: ride the backward's per-contribution values through the
+            row sort as bf16 pairs packed into u32 (3 sort operands instead
+            of 1 + C; measured 118 -> 89 ms at 16.8 M contributions on v5e).
+            Contributions round to bf16 BEFORE the exact fp32 run
+            accumulation — precision comparable to the reference's fp16
+            atomicAdd scatter (gridencoder.cu:313-326).  Enabled by the
+            models layer under bf16 (AMP) compute.
 
     Returns:
         [B, num_levels * C] features, level-major like the reference
@@ -386,7 +394,7 @@ def hashgrid_encode(
     """
     c = embeddings.shape[1]
     if fast_vjp:
-        return _encode_fast(spec, style, embeddings, x)
+        return _encode_fast(spec, style, bwd_pack and c % 2 == 0, embeddings, x)
     flat_idx, weights, oob = corner_indices_weights(spec, x, style)
     return _encode_from_indices(
         embeddings, flat_idx, weights, oob, x.shape[0], spec.num_levels * c
@@ -419,8 +427,21 @@ def hashgrid_encode(
 from functools import partial
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _encode_fast(spec: HashGridSpec, style: int, embeddings, x):
+def _pack_bf16_pair(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Two f32 streams -> one u32 stream of (bf16(a) << 16) | bf16(b)."""
+    hi = jax.lax.bitcast_convert_type(a.astype(jnp.bfloat16), jnp.uint16)
+    lo = jax.lax.bitcast_convert_type(b.astype(jnp.bfloat16), jnp.uint16)
+    return (hi.astype(jnp.uint32) << 16) | lo.astype(jnp.uint32)
+
+
+def _unpack_bf16_pair(ab: jnp.ndarray):
+    hi = jax.lax.bitcast_convert_type((ab >> 16).astype(jnp.uint16), jnp.bfloat16)
+    lo = jax.lax.bitcast_convert_type((ab & 0xFFFF).astype(jnp.uint16), jnp.bfloat16)
+    return hi.astype(jnp.float32), lo.astype(jnp.float32)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _encode_fast(spec: HashGridSpec, style: int, bwd_pack: bool, embeddings, x):
     if _all_levels_hashed(spec, style):
         return _encode_flat(spec, style, embeddings, x)
     flat_idx, weights, oob = corner_indices_weights(spec, x, style)
@@ -429,12 +450,12 @@ def _encode_fast(spec: HashGridSpec, style: int, embeddings, x):
     )
 
 
-def _encode_fast_fwd(spec, style, embeddings, x):
-    out = _encode_fast(spec, style, embeddings, x)
+def _encode_fast_fwd(spec, style, bwd_pack, embeddings, x):
+    out = _encode_fast(spec, style, bwd_pack, embeddings, x)
     return out, (jnp.zeros((0,), embeddings.dtype), x)
 
 
-def _encode_fast_bwd(spec, style, res, g):
+def _encode_fast_bwd(spec, style, bwd_pack, res, g):
     (emb_proto, x) = res
     emb_dtype = emb_proto.dtype
     b = x.shape[0]
@@ -462,9 +483,23 @@ def _encode_fast_bwd(spec, style, res, g):
         gj = jnp.tile(g3[..., j].reshape(-1), 8)  # [(corner, b, l)]
         vals.append((w_k * gj).astype(jnp.float32))
 
-    # 1. one sort of the row stream, channels riding along
-    sorted_ops = jax.lax.sort((rows_k, *vals), num_keys=1)
-    idx_s, vals_s = sorted_ops[0], sorted_ops[1:]
+    # 1. one sort of the row stream, channels riding along — packed as bf16
+    #    pairs when allowed (1 + C/2 operands instead of 1 + C; the exact
+    #    fp32 accumulation below is unchanged, only per-contribution values
+    #    round — see hashgrid_encode(bwd_pack=...)).
+    if bwd_pack and c % 2 == 0:
+        packed = [
+            _pack_bf16_pair(vals[j], vals[j + 1]) for j in range(0, c, 2)
+        ]
+        sorted_ops = jax.lax.sort((rows_k, *packed), num_keys=1)
+        idx_s = sorted_ops[0]
+        vals_s = []
+        for ab in sorted_ops[1:]:
+            hi, lo = _unpack_bf16_pair(ab)
+            vals_s.extend((hi, lo))
+    else:
+        sorted_ops = jax.lax.sort((rows_k, *vals), num_keys=1)
+        idx_s, vals_s = sorted_ops[0], sorted_ops[1:]
 
     # 2. run totals at run ends via cumsum differences computed IN PLACE:
     #    total[i] = cums[i] - cums[prev_end]; prev_end's cumsum rides to

@@ -49,10 +49,9 @@ SQRT3 = 1.7320508075688772
 class OccField(NamedTuple):
     """Occupancy lookup structures for marching.
 
-    ``skipdist`` (optional) enables the adaptive empty-space-skipping marcher;
-    with only ``bitfield`` the dense full-lattice marcher runs.  Both produce
-    identical samples (tested); adaptive replaces the [N, T] lattice sweep
-    with a while_loop whose trip count tracks the occupied span.
+    ``skipdist`` (optional) enables the two-stage empty-space-skipping
+    marcher (:func:`_march_two_stage`); with only ``bitfield`` the dense
+    full-lattice marcher runs.  Both produce identical samples (tested).
     """
 
     bitfield: jnp.ndarray  # [cascade * H**3] bool
@@ -178,75 +177,127 @@ def _kept_mask_dense(plan: MarchPlan, bitfield, rays, nears, fars):
     return kept
 
 
-def _kept_mask_adaptive(plan: MarchPlan, skipdist, rays, nears, fars):
-    """Empty-space-skipping occupancy mask [N, T], identical to the dense
-    mask (adaptive marching semantics of raymarching.cu:497-499).
+def _march_two_stage(
+    plan: MarchPlan,
+    occ: OccField,
+    rays: RayBundle,
+    nears: jnp.ndarray,
+    fars: jnp.ndarray,
+    stride: int = 8,
+) -> SampleBatch:
+    """Two-stage skip-distance march: coarse candidate windows, then exact
+    occupancy on candidates only.
 
-    A while_loop advances every ray along the dt lattice.  The safe skip from
-    a point x is the CROSS-LEVEL world distance
+    Replaces the dense [N, T] sweep's 8.4 M occupancy gathers (98 ms) and its
+    full-domain flatnonzero (85 ms) with:
 
-        d_world(x) = min over cascades l of (sd_l[cell_l(x)] - 1) * cell_l
+      1. a COARSE pass at lattice stride S: the cross-level skip distance
+         d_world(x) (the adaptive-marcher invariant: every point within that
+         L-inf ball is unoccupied at its own mip level) is gathered at the
+         window's first lattice point; the window [jS, (j+1)S) can only
+         contain occupied points if d_world < S*dt, since every fine point
+         lies within (S-1)*dt of the coarse point and clipping to the AABB is
+         a per-axis contraction;
+      2. candidate windows compact via flatnonzero (ray-major order kept);
+      3. the EXACT bitfield is gathered only at candidate windows' fine
+         points — identical samples to the dense sweep (tested), ~4x fewer
+         random accesses end to end.
 
-    — inside that L-inf ball EVERY cascade is empty, so every skipped lattice
-    point is unoccupied at its own mip level regardless of mip transitions
-    (an earlier per-level variant needed shell caps that trapped
-    boundary-grazing rays at one step per iteration).  Trip count tracks
-    occupied-span length + skip count instead of the full t_lattice.
+    The per-ray cap on kept samples (max_steps counts occupied steps,
+    raymarching.cu:460,485-487) is applied with a segmented scan over
+    windows: windows of one ray are contiguous and ascending, so a
+    (value, reset) associative scan yields each window's per-ray exclusive
+    kept-prefix.
+
+    Window-budget overflow (more candidate windows than WB) drops trailing
+    windows ray-major — the same graceful degradation as compaction-budget
+    overflow.  WB is sized so the fine domain is ~4x the sample budget.
     """
     n, t_lat, dt = plan.num_rays, plan.t_lattice, plan.dt
+    s = stride
     h = plan.grid_size
     h3 = h * h * h
+    tc = -(-t_lat // s)  # windows per ray
+    wb = max(n, (plan.budget + 1) // 2)  # candidate-window budget
 
-    # Static per-level cell sizes.
-    cell_sizes = [
-        2.0 * min(2.0**lv, plan.bound) / h for lv in range(plan.cascade)
-    ]
+    # -- stage 1: coarse candidates [N, Tc] --
+    kc = jnp.arange(tc, dtype=jnp.float32) * s
+    t_c = nears[:, None] + kc[None, :] * dt
+    xyz_c = rays.origins[:, None, :] + rays.dirs[:, None, :] * t_c[..., None]
+    xyz_c = jnp.clip(xyz_c, -plan.bound, plan.bound)
+    d_world = jnp.full((n, tc), jnp.inf, jnp.float32)
+    for lv in range(plan.cascade):  # static unroll, one [N, Tc] gather each
+        mip_bound = min(2.0**lv, plan.bound)
+        cell = 2.0 * mip_bound / h
+        coords = (0.5 * (xyz_c / mip_bound + 1.0) * h).astype(jnp.int32)
+        coords = jnp.clip(coords, 0, h - 1)
+        d_lv = occ.skipdist[lv * h3 + cell_linear_index(coords, h)]
+        d_world = jnp.minimum(d_world, (d_lv.astype(jnp.float32) - 1.0) * cell)
+    cand = (d_world < s * dt) & (t_c < fars[:, None])
 
-    def cond(state):
-        _, _, _, done = state
-        return ~jnp.all(done)
+    # -- stage 2: compact windows, exact occupancy on their fine points --
+    widx = jnp.flatnonzero(cand.reshape(-1), size=wb, fill_value=n * tc)
+    wvalid = widx < n * tc
+    wray = jnp.minimum(widx // tc, n - 1).astype(jnp.int32)
+    wk = ((widx % tc) * s).astype(jnp.int32)  # window's first lattice index
 
-    def body(state):
-        k, kept_flat, emitted, done = state
-        t = nears + k.astype(jnp.float32) * dt
-        alive = ~done
-        xyz = rays.origins + rays.dirs * t[:, None]
-        xyz = jnp.clip(xyz, -plan.bound, plan.bound)
+    k_fine = wk[:, None] + jnp.arange(s, dtype=jnp.int32)[None]  # [WB, S]
+    t_fine = nears[wray][:, None] + k_fine.astype(jnp.float32) * dt
+    xyz_f = (
+        rays.origins[wray][:, None, :]
+        + rays.dirs[wray][:, None, :] * t_fine[..., None]
+    )
+    xyz_f = jnp.clip(xyz_f, -plan.bound, plan.bound)
+    occ_f = occupancy_lookup(
+        xyz_f, occ.bitfield, bound=plan.bound, cascade=plan.cascade,
+        grid_size=plan.grid_size, mip_dt_level=plan.mip_dt_level,
+    )
+    kept_f = (
+        occ_f
+        & (t_fine < fars[wray][:, None])
+        & (k_fine < t_lat)
+        & wvalid[:, None]
+    )
 
-        # Emission level (mip_from_pos semantics, as in the dense path).
-        mx = jnp.max(jnp.abs(xyz), axis=-1)
-        _, e = jnp.frexp(mx)
-        level = jnp.clip(jnp.maximum(e, plan.mip_dt_level), 0, plan.cascade - 1)
+    # -- per-ray max_steps cap via segmented scan over windows --
+    in_win = jnp.cumsum(kept_f, axis=1)  # inclusive within-window prefix
+    win_tot = in_win[:, -1]
+    is_new_ray = jnp.concatenate(
+        [jnp.ones((1,), bool), wray[1:] != wray[:-1]]
+    )
 
-        d_world = jnp.full((n,), jnp.inf, jnp.float32)
-        d_sel = jnp.zeros((n,), jnp.int32)
-        for lv in range(plan.cascade):  # static unroll, one [N] gather each
-            mip_bound = min(2.0**lv, plan.bound)
-            coords = (0.5 * (xyz / mip_bound + 1.0) * h).astype(jnp.int32)
-            coords = jnp.clip(coords, 0, h - 1)
-            d_lv = skipdist[lv * h3 + cell_linear_index(coords, h)].astype(jnp.int32)
-            d_world = jnp.minimum(
-                d_world, (d_lv - 1).astype(jnp.float32) * cell_sizes[lv]
-            )
-            d_sel = jnp.where(level == lv, d_lv, d_sel)
+    def seg_combine(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, av + bv), af | bf
 
-        occ = (d_sel == 0) & alive & (t < fars)
-        kept_flat = kept_flat.at[
-            jnp.arange(n) * t_lat + jnp.minimum(k, t_lat - 1)
-        ].max(occ)
-        emitted = emitted + occ.astype(jnp.int32)
-        adv = jnp.maximum(1, jnp.floor(d_world / dt).astype(jnp.int32))
-        k = jnp.where(done, k, k + adv)
-        t_next = nears + k.astype(jnp.float32) * dt
-        done = done | (t_next >= fars) | (k >= t_lat) | (emitted >= plan.max_steps)
-        return k, kept_flat, emitted, done
+    # inclusive segmented cumsum of window totals, then make it exclusive
+    inc, _ = jax.lax.associative_scan(
+        seg_combine, (win_tot, is_new_ray)
+    )
+    ray_prefix = inc - win_tot  # kept in the same ray BEFORE this window
+    kept_f &= (ray_prefix[:, None] + in_win) <= plan.max_steps
+    num_kept = jnp.sum(kept_f, dtype=jnp.int32)
 
-    k0 = jnp.zeros((n,), jnp.int32)
-    kept0 = jnp.zeros((n * t_lat,), jnp.bool_)
-    emitted0 = jnp.zeros((n,), jnp.int32)
-    done0 = nears >= fars
-    _, kept_flat, _, _ = jax.lax.while_loop(cond, body, (k0, kept0, emitted0, done0))
-    return kept_flat.reshape(n, t_lat)
+    # -- final compaction over the fine domain [WB * S] --
+    fidx = jnp.flatnonzero(kept_f.reshape(-1), size=plan.budget, fill_value=wb * s)
+    valid = fidx < wb * s
+    w_of = jnp.minimum(fidx // s, wb - 1)
+    rid = wray[w_of]
+    kk = (wk[w_of] + (fidx % s).astype(jnp.int32)).astype(jnp.float32)
+    t_sel = nears[rid] + kk * dt
+    xyz_sel = rays.origins[rid] + rays.dirs[rid] * t_sel[:, None]
+    xyz_sel = jnp.clip(xyz_sel, -plan.bound, plan.bound)
+    tau = t_sel + dt - nears[rid]
+    ray_id = jnp.where(valid, rid, n).astype(jnp.int32)
+    return SampleBatch(
+        xyz=xyz_sel,
+        dirs=rays.dirs[rid],
+        tau=tau,
+        ray_id=ray_id,
+        valid=valid,
+        num_kept=num_kept,
+    )
 
 
 def march_rays(
@@ -260,8 +311,9 @@ def march_rays(
 
     Args:
         plan: static geometry (N, T, M are compile-time shapes).
-        occ: OccField (adaptive when skipdist present) or a bare [cascade *
-            grid_size**3] bool bitfield (dense full-lattice path).
+        occ: OccField (two-stage skip-distance march when skipdist present) or
+            a bare [cascade * grid_size**3] bool bitfield (dense full-lattice
+            path).  Both produce identical samples (tested).
         rays: RayBundle of exactly ``plan.num_rays`` rays.
         nears/fars: [N] from :func:`near_far_from_aabb`.
     """
@@ -271,9 +323,9 @@ def march_rays(
         occ = OccField(bitfield=occ)
 
     if occ.skipdist is not None:
-        kept = _kept_mask_adaptive(plan, occ.skipdist, rays, nears, fars)
-    else:
-        kept = _kept_mask_dense(plan, occ.bitfield, rays, nears, fars)
+        return _march_two_stage(plan, occ, rays, nears, fars)
+
+    kept = _kept_mask_dense(plan, occ.bitfield, rays, nears, fars)
     num_kept = jnp.sum(kept, dtype=jnp.int32)
 
     # Static-size compaction, ray-major order preserved.

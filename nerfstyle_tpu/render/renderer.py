@@ -74,8 +74,12 @@ def cascade_for_bound(bound: float) -> int:
     return 1 + max(0, math.ceil(math.log2(bound)))
 
 
-# Compaction bucket ladder (samples per ray); static jit shapes.
-_BUDGET_BUCKETS = (4, 8, 16, 32, 64, 128, 256)
+# Compaction bucket ladder (samples per ray); static jit shapes.  Finer than
+# powers of two: each step is ~1.4x, so the budget tracks mean_count within
+# ~25% instead of ~50% — encoder/sort work scales with the budget (round-2
+# phase profile: the bench ran at bucket 64 while mean samples/ray was 36).
+# Recompile count stays bounded by the shrink-one-step-per-update hysteresis.
+_BUDGET_BUCKETS = (4, 8, 16, 24, 32, 48, 64, 96, 128, 192, 256)
 
 
 def bucket_for(per_ray_want: float, max_per_ray: int) -> int:
@@ -152,7 +156,6 @@ def make_render_round(
     dt, t_lat = plan.dt, plan.t_lattice
     n, s = plan.num_rays, round_size
 
-    @jax.jit
     def round_fn(params, skipdist, bbox, origins, dirs, nears, fars,
                  k_start, trans_in, acc_img, acc_depth, acc_ws):
         rays = RayBundle(origins, dirs)
@@ -196,127 +199,136 @@ def make_incremental_renderer(
     density_scale: float,
     compute_dtype=jnp.float32,
     round_size: int = 32,
-    min_bucket: int = 256,
+    bucket: int = 2048,
 ):
-    """Incremental inference renderer with ALIVE-RAY COMPACTION.
+    """Incremental inference renderer with ON-DEVICE alive-ray compaction.
 
     The reference inference loop shrinks work to n_alive rays every round
-    (renderer.py:266-285).  The TPU equivalent: each round gathers alive rays
-    into the smallest power-of-2 bucket (static shape per compile), runs one
-    march+field+composite round on the bucket, and scatters the deltas back.
-    After round 1 typically only surface-hitting rays remain (background rays
-    exhaust their span immediately), so field evaluations track the
-    reference's n_alive work, not num_rays x rounds.
+    (renderer.py:266-293).  The TPU rebuild runs the ENTIRE alive-ray loop as
+    one jitted ``lax.while_loop`` with ZERO host synchronization: each
+    iteration compacts up to ``bucket`` alive rays (static-size flatnonzero),
+    marches them ``round_size`` occupied lattice points, evaluates the field,
+    folds the deltas back, and retires rays on T < thresh / span end /
+    max_steps.  Rays beyond the bucket simply wait for a later iteration —
+    total work is unchanged, shapes stay static, and the loop condition
+    (``any(alive)``) is evaluated on device.
 
-    Returns ``render(params, skipdist, bbox, rays, channels) -> outputs``.
+    (Round-1's variant fetched the alive count to the host every round to
+    pick a shrinking bucket; over the remote TPU tunnel those per-round
+    round-trips dominated render wall-clock.)
+
+    Returns ``render(params, skipdist, bbox, rays, channels) -> outputs``
+    where every output (including ``num_points``) stays on device.
     """
     import dataclasses
-    from functools import partial
 
-    round_cache = {}
-    mega_cache = {}
+    jit_cache = {}
 
-    def round_fn_for(bucket: int):
-        if bucket not in round_cache:
-            plan_b = dataclasses.replace(base_plan, num_rays=bucket, budget=1)
-            round_cache[bucket] = make_render_round(
-                field_spec, plan_b, t_thresh, density_scale, compute_dtype,
-                round_size,
-            )
-        return round_cache[bucket]
-
-    def _bucket(cnt: int, n: int) -> int:
-        b = min_bucket
-        while b < cnt:
-            b *= 2
-        return min(b, max(n, min_bucket))
-
-    def mega_round_for(bucket: int, channels: int):
-        """One fully-jitted round: compact alive rays into the bucket, march +
-        field + composite, scatter deltas back.  ONE host fetch (alive count)
-        per round — eager per-round glue costs minutes over the remote
-        tunnel."""
-        key = (bucket, channels)
-        if key in mega_cache:
-            return mega_cache[key]
-        rf_inner = round_fn_for(bucket)  # jit-of-jit traces through
+    def chunk_fn_for(chunk: int, channels: int):
+        key = (chunk, channels)
+        if key in jit_cache:
+            return jit_cache[key]
+        b = min(bucket, chunk)
+        plan_b = dataclasses.replace(base_plan, num_rays=b, budget=1)
+        round_fn = make_render_round(
+            field_spec, plan_b, t_thresh, density_scale, compute_dtype,
+            round_size,
+        )
+        # Hard termination bound: each iteration a selected ray either dies
+        # or consumes round_size of its max_steps sample allowance; at most
+        # ceil(chunk / b) rays-groups interleave.
+        per_ray_rounds = -(-base_plan.max_steps // round_size)
+        max_iters = per_ray_rounds * (-(-chunk // b))
 
         @jax.jit
-        def mega(params, skipdist, bbox, origins, dirs, nears, fars,
-                 k, trans, acc_img, acc_depth, acc_ws, alive):
-            n = origins.shape[0]
-            cnt = jnp.sum(alive, dtype=jnp.int32)
-            idx = jnp.flatnonzero(alive, size=bucket, fill_value=n)
-            slot_ok = jnp.arange(bucket) < cnt
-            safe = jnp.minimum(idx, n - 1)
-            k_b, trans_b, img_b, depth_b, ws_b, alive_b, emitted_b = rf_inner(
-                params, skipdist, bbox,
-                origins[safe], dirs[safe], nears[safe], fars[safe],
-                k[safe], trans[safe],
-                jnp.zeros((bucket, acc_img.shape[1]), jnp.float32),
-                jnp.zeros((bucket,), jnp.float32),
-                jnp.zeros((bucket,), jnp.float32),
+        def render_chunk(params, skipdist, bbox, origins, dirs):
+            nears, fars = near_far_from_aabb(
+                origins, dirs, base_plan.aabb, base_plan.min_near
             )
-            acc_img = acc_img.at[idx].add(
-                jnp.where(slot_ok[:, None], img_b, 0.0), mode="drop"
-            )
-            acc_depth = acc_depth.at[idx].add(
-                jnp.where(slot_ok, depth_b, 0.0), mode="drop"
-            )
-            acc_ws = acc_ws.at[idx].add(jnp.where(slot_ok, ws_b, 0.0), mode="drop")
-            k = k.at[idx].set(jnp.where(slot_ok, k_b, k[safe]), mode="drop")
-            trans = trans.at[idx].set(
-                jnp.where(slot_ok, trans_b, trans[safe]), mode="drop"
-            )
-            alive = alive.at[idx].set(
-                jnp.where(slot_ok, alive_b, False), mode="drop"
-            )
-            pts = jnp.sum(jnp.where(slot_ok, emitted_b, 0))
-            stats = jnp.stack([jnp.sum(alive, dtype=jnp.int32), pts])
-            return k, trans, acc_img, acc_depth, acc_ws, alive, stats
 
-        mega_cache[key] = mega
-        return mega
+            def cond(st):
+                i = st[0]
+                alive = st[7]
+                return (i < max_iters) & jnp.any(alive)
+
+            def body(st):
+                i, k, trans, steps, acc_img, acc_depth, acc_ws, alive, pts = st
+                cnt = jnp.sum(alive, dtype=jnp.int32)
+                idx = jnp.flatnonzero(alive, size=b, fill_value=chunk)
+                slot_ok = jnp.arange(b) < cnt
+                safe = jnp.minimum(idx, chunk - 1)
+                k_b, trans_b, img_b, depth_b, ws_b, alive_b, emitted_b = round_fn(
+                    params, skipdist, bbox,
+                    origins[safe], dirs[safe], nears[safe], fars[safe],
+                    k[safe], trans[safe],
+                    jnp.zeros((b, channels), jnp.float32),
+                    jnp.zeros((b,), jnp.float32),
+                    jnp.zeros((b,), jnp.float32),
+                )
+                # Per-ray total-sample cap (the reference's step budget,
+                # renderer.py:266-285).
+                steps_b = steps[safe] + emitted_b
+                alive_b = alive_b & (steps_b < base_plan.max_steps)
+
+                acc_img = acc_img.at[idx].add(
+                    jnp.where(slot_ok[:, None], img_b, 0.0), mode="drop"
+                )
+                acc_depth = acc_depth.at[idx].add(
+                    jnp.where(slot_ok, depth_b, 0.0), mode="drop"
+                )
+                acc_ws = acc_ws.at[idx].add(
+                    jnp.where(slot_ok, ws_b, 0.0), mode="drop"
+                )
+                k = k.at[idx].set(jnp.where(slot_ok, k_b, k[safe]), mode="drop")
+                trans = trans.at[idx].set(
+                    jnp.where(slot_ok, trans_b, trans[safe]), mode="drop"
+                )
+                steps = steps.at[idx].set(
+                    jnp.where(slot_ok, steps_b, steps[safe]), mode="drop"
+                )
+                alive = alive.at[idx].set(
+                    jnp.where(slot_ok, alive_b, alive[safe]), mode="drop"
+                )
+                pts = pts + jnp.sum(jnp.where(slot_ok, emitted_b, 0))
+                return (i + 1, k, trans, steps, acc_img, acc_depth, acc_ws,
+                        alive, pts)
+
+            init = (
+                jnp.int32(0),
+                jnp.zeros((chunk,), jnp.int32),
+                jnp.ones((chunk,), jnp.float32),
+                jnp.zeros((chunk,), jnp.int32),
+                jnp.zeros((chunk, channels), jnp.float32),
+                jnp.zeros((chunk,), jnp.float32),
+                jnp.zeros((chunk,), jnp.float32),
+                nears < fars,
+                jnp.int32(0),
+            )
+            (_, _, _, _, acc_img, acc_depth, acc_ws, _, pts) = (
+                jax.lax.while_loop(cond, body, init)
+            )
+
+            rgb = acc_img[:, :3] + (1.0 - acc_ws)[:, None]
+            # identical post-processing to render_rays (white bg, depth norm)
+            depth = jnp.clip(acc_depth - nears, min=0.0) / jnp.maximum(
+                fars - nears, 1e-10
+            )
+            return {
+                "rgb_map": rgb,
+                "trans_map": depth,
+                "classes": acc_img[:, 3:],
+                "weights_sum": acc_ws,
+                "num_points": pts,
+            }
+
+        jit_cache[key] = render_chunk
+        return render_chunk
 
     def render(params, skipdist, bbox, rays: RayBundle, channels: int):
         n = rays.origins.shape[0]
-        nears, fars = near_far_from_aabb(
-            rays.origins, rays.dirs, base_plan.aabb, base_plan.min_near
+        return chunk_fn_for(n, channels)(
+            params, skipdist, bbox, rays.origins, rays.dirs
         )
-        k = jnp.zeros((n,), jnp.int32)
-        trans = jnp.ones((n,), jnp.float32)
-        acc_img = jnp.zeros((n, channels), jnp.float32)
-        acc_depth = jnp.zeros((n,), jnp.float32)
-        acc_ws = jnp.zeros((n,), jnp.float32)
-        alive = jnp.ones((n,), jnp.bool_)
-        num_points = 0
-        cnt = n
-        max_rounds = max(1, base_plan.max_steps // round_size)
-        for _ in range(max_rounds):
-            if cnt == 0:
-                break
-            bucket = _bucket(cnt, n)
-            mega = mega_round_for(bucket, channels)
-            k, trans, acc_img, acc_depth, acc_ws, alive, stats = mega(
-                params, skipdist, bbox, rays.origins, rays.dirs, nears, fars,
-                k, trans, acc_img, acc_depth, acc_ws, alive,
-            )
-            stats = np.asarray(stats)  # the single host fetch per round
-            cnt, pts = int(stats[0]), int(stats[1])
-            num_points += pts
-
-        rgb = acc_img[:, :3] + (1.0 - acc_ws)[:, None]
-        # identical post-processing to render_rays (white bg, depth normalize)
-        depth = jnp.clip(acc_depth - nears, min=0.0) / jnp.maximum(
-            fars - nears, 1e-10
-        )
-        return {
-            "rgb_map": rgb,
-            "trans_map": depth,
-            "classes": acc_img[:, 3:],
-            "weights_sum": acc_ws,
-            "num_points": num_points,
-        }
 
     return render
 
@@ -418,7 +430,10 @@ class Renderer:
     def _retune_bucket(self) -> None:
         if self._mean_count_host <= 0:
             return
-        per_ray = self._mean_count_host * 1.5 / max(1, self._last_num_rays)
+        # 1.25x headroom over the running mean (the reference sizes its point
+        # buffer at mean_count exactly and drops overflow,
+        # raymarching.py:233-236 — 1.25x is strictly more generous).
+        per_ray = self._mean_count_host * 1.25 / max(1, self._last_num_rays)
         cand = bucket_for(per_ray, self.settings.max_samples_per_ray)
         if cand > self._budget_bucket:
             self._budget_bucket = cand  # overflow: jump up immediately
@@ -550,7 +565,9 @@ class Renderer:
                 k: jnp.concatenate([p[k] for p in pieces])[:n]
                 for k in ("rgb_map", "trans_map", "classes", "weights_sum")
             }
-            out["num_points"] = sum(int(p["num_points"]) for p in pieces)
+            # Device-side sum: chunks dispatch back-to-back with no host
+            # fetch between them (each fetch is a full tunnel round trip).
+            out["num_points"] = sum(p["num_points"] for p in pieces)
 
         output.update(out)
         return output

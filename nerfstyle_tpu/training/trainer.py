@@ -50,7 +50,6 @@ from ..losses.recon import (
     weight_reg_loss,
 )
 from ..models.fields import field_apply, field_density, field_init, make_grid_spec, style_field_spec
-from ..ops.marching import OccField
 from ..parallel.mesh import (
     build_sharded_density_fn,
     build_sharded_loss_terms,
@@ -496,12 +495,11 @@ class Trainer:
             self.params,
             self.opt_state,
             self.ema_state,
-            # Dense lattice marching: at train batch sizes (4096 rays) the
-            # occupied-span emission dominates, where the dense [N, T] sweep's
-            # full parallelism beats the adaptive while_loop (measured 173 vs
-            # 211 ms).  Eval/style full-frame renders use the adaptive path
-            # via renderer.occ_field.
-            OccField(self.renderer.occ_state.bitfield),
+            # Two-stage skip-distance marching (ops/marching.py
+            # _march_two_stage): coarse candidate windows then exact
+            # occupancy — ~4x fewer random accesses than the dense [N, T]
+            # sweep at train batch sizes (measured round 2).
+            self.renderer.occ_field,
             self._images_dev[frame],
             self._poses_dev[frame],
             k_step,
@@ -526,8 +524,26 @@ class Trainer:
     def run(self):
         if self.train_cfg.test_before_train:
             self.test_networks()
-        while self.iter_ctr < self.train_cfg.num_iterations:
-            self.run_iter()
+        # jax.profiler trace window (SURVEY.md section 5: the TPU replacement
+        # for the reference's iter_time-only observability).
+        pdir = self.train_cfg.profile_dir
+        p0 = self.train_cfg.profile_start
+        p1 = p0 + self.train_cfg.profile_steps
+        tracing = False
+        try:
+            while self.iter_ctr < self.train_cfg.num_iterations:
+                if pdir is not None and not tracing and self.iter_ctr == p0:
+                    jax.profiler.start_trace(str(pdir))
+                    tracing = True
+                self.run_iter()
+                if tracing and self.iter_ctr >= p1:
+                    jax.block_until_ready(self.params)
+                    jax.profiler.stop_trace()
+                    tracing = False
+                    self.logger.info("Wrote profiler trace to %s", pdir)
+        finally:
+            if tracing:
+                jax.profiler.stop_trace()
 
     def close(self):
         self.logger.info("Closed")

@@ -192,6 +192,26 @@ class TestGrad:
         g_slow = np.asarray(jax.grad(lambda e: loss(e, False))(emb4))
         np.testing.assert_allclose(g_fast, g_slow, rtol=1e-3, atol=5e-5)
 
+    def test_packed_bwd_close_to_exact(self):
+        """bf16-packed sort payloads (bwd_pack=True) round each contribution
+        to bf16 before the exact fp32 run accumulation — grads must stay
+        within bf16 relative error of the exact path (precision comparable to
+        the reference's fp16 atomicAdd, gridencoder.cu:313-326)."""
+        spec = hashgrid_spec(3, 2, 8, per_level_scale=1.5, log2_hashmap_size=9)
+        emb4 = jax.random.normal(jax.random.PRNGKey(3), (spec.total_params, 4)) * 0.01
+        x = jax.random.uniform(jax.random.PRNGKey(4), (555, 3))
+        g_out = jax.random.normal(jax.random.PRNGKey(5), (555, spec.num_levels * 4))
+
+        def loss(e, packed):
+            return jnp.sum(hashgrid_encode(spec, e, x, bwd_pack=packed) * g_out)
+
+        g_exact = np.asarray(jax.grad(lambda e: loss(e, False))(emb4))
+        g_packed = np.asarray(jax.grad(lambda e: loss(e, True))(emb4))
+        # bf16 has ~2^-8 relative precision per contribution.
+        scale = np.abs(g_exact).max()
+        np.testing.assert_allclose(g_packed, g_exact, atol=2e-2 * scale, rtol=2e-2)
+        assert np.abs(g_packed - g_exact).max() > 0  # packing is actually on
+
     def test_grad_deterministic(self):
         """Unlike the CUDA atomicAdd backward, grads are bit-reproducible."""
         spec = hashgrid_spec(4, 2, 8, per_level_scale=2.0, log2_hashmap_size=8)

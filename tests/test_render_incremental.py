@@ -49,7 +49,7 @@ class TestIncrementalRender:
             t_thresh=1e-4, density_scale=1.0,
         )
         render_inc = make_incremental_renderer(
-            spec, plan, 1e-4, 1.0, round_size=16, min_bucket=8
+            spec, plan, 1e-4, 1.0, round_size=16, bucket=8
         )
         inc = render_inc(params, sd, bbox, rays, 6)
         np.testing.assert_allclose(
@@ -83,7 +83,7 @@ class TestIncrementalRender:
             t_thresh=1e-4, density_scale=1.0,
         )
         render_inc = make_incremental_renderer(
-            spec, starved, 1e-4, 1.0, round_size=16, min_bucket=8
+            spec, starved, 1e-4, 1.0, round_size=16, bucket=8
         )
         inc = render_inc(params, sd, bbox, rays, 6)
         np.testing.assert_allclose(
