@@ -198,6 +198,7 @@ def bench_render(work: Path, data_cfg: Path, ckpt: Path, out_w=1008, out_h=756):
         density_thresh=render_cfg.density_thresh,
         density_decay=render_cfg.density_decay,
         max_samples_per_ray=render_cfg.max_samples_per_ray,
+        infer_bucket=int(os.environ.get("NERFSTYLE_INFER_BUCKET", "512")),
     )
     renderer = Renderer(
         field_spec, train_set.bbox, settings, intr, float(dataset_cfg.bound),

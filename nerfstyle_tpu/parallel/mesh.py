@@ -128,6 +128,39 @@ def build_sharded_loss_terms(
     )
 
 
+def build_sharded_cotangent_sum(
+    mesh: Mesh,
+    spec: FieldSpec,
+    plan_global: MarchPlan,
+    t_thresh: float,
+    density_scale: float,
+    compute_dtype=jnp.float32,
+) -> Callable:
+    """Sharded ``sum(rgb(rays) * cotangent)`` — the scalar whose gradient is
+    the style stage's deferred-backprop patch VJP (trainers/style.py:189-198):
+    d/d(params) sum(rgb * g_pixels) == vjp(render, g_pixels).
+
+    Rays and cotangents shard on the batch axis; grads psum once.
+    """
+    n_dev = mesh.devices.size
+    plan_l = local_plan(plan_global, n_dev)
+
+    def shard_fn(params, bitfield, bbox, origins, dirs, cot):
+        rgb, _classes, _ws, _nk = _render_shard(
+            spec, plan_l, t_thresh, density_scale, compute_dtype,
+            params, bitfield, bbox, origins, dirs,
+        )
+        return jax.lax.psum(jnp.sum(rgb * cot), "data")
+
+    return _shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P("data"), P("data"), P("data")),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+
 def build_sharded_density_fn(
     mesh: Mesh,
     density_fn: Callable,

@@ -67,6 +67,9 @@ class RenderSettings:
     # TPU-specific: empty-space-skipping while_loop marcher (exact lattice
     # semantics; see ops/marching.py). False = dense [N, T] lattice sweep.
     adaptive_march: bool = True
+    # TPU-specific: alive-ray compaction bucket of the incremental inference
+    # loop (smaller = less dead-slot work on the long tail, more iterations).
+    infer_bucket: int = 512
 
 
 def cascade_for_bound(bound: float) -> int:
@@ -200,6 +203,7 @@ def make_incremental_renderer(
     compute_dtype=jnp.float32,
     round_size: int = 32,
     bucket: int = 2048,
+    mesh=None,
 ):
     """Incremental inference renderer with ON-DEVICE alive-ray compaction.
 
@@ -217,6 +221,12 @@ def make_incremental_renderer(
     pick a shrinking bucket; over the remote TPU tunnel those per-round
     round-trips dominated render wall-clock.)
 
+    When a ``mesh`` is supplied and the chunk divides the device count, the
+    whole per-chunk loop runs under ``shard_map`` — each device owns a ray
+    shard and iterates its own alive set independently (no collectives except
+    one psum of num_points).  The reference has no multi-device render at all
+    (SURVEY.md section 2.3).
+
     Returns ``render(params, skipdist, bbox, rays, channels) -> outputs``
     where every output (including ``num_points``) stays on device.
     """
@@ -224,10 +234,8 @@ def make_incremental_renderer(
 
     jit_cache = {}
 
-    def chunk_fn_for(chunk: int, channels: int):
-        key = (chunk, channels)
-        if key in jit_cache:
-            return jit_cache[key]
+    def body_for(chunk: int, channels: int):
+        """Unjitted per-device chunk renderer for ``chunk`` rays."""
         b = min(bucket, chunk)
         plan_b = dataclasses.replace(base_plan, num_rays=b, budget=1)
         round_fn = make_render_round(
@@ -240,7 +248,6 @@ def make_incremental_renderer(
         per_ray_rounds = -(-base_plan.max_steps // round_size)
         max_iters = per_ray_rounds * (-(-chunk // b))
 
-        @jax.jit
         def render_chunk(params, skipdist, bbox, origins, dirs):
             nears, fars = near_far_from_aabb(
                 origins, dirs, base_plan.aabb, base_plan.min_near
@@ -321,8 +328,42 @@ def make_incremental_renderer(
                 "num_points": pts,
             }
 
-        jit_cache[key] = render_chunk
         return render_chunk
+
+    def chunk_fn_for(chunk: int, channels: int):
+        key = (chunk, channels)
+        if key in jit_cache:
+            return jit_cache[key]
+
+        n_dev = mesh.devices.size if mesh is not None else 1
+        if n_dev > 1 and chunk % n_dev == 0:
+            from ..parallel.mesh import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            local = body_for(chunk // n_dev, channels)
+
+            def per_device(params, skipdist, bbox, origins, dirs):
+                out = local(params, skipdist, bbox, origins, dirs)
+                out["num_points"] = jax.lax.psum(out["num_points"], "data")
+                return out
+
+            fn = shard_map(
+                per_device,
+                mesh=mesh,
+                in_specs=(P(), P(), P(), P("data"), P("data")),
+                out_specs={
+                    "rgb_map": P("data"),
+                    "trans_map": P("data"),
+                    "classes": P("data"),
+                    "weights_sum": P("data"),
+                    "num_points": P(),
+                },
+                check_vma=False,
+            )
+            jit_cache[key] = jax.jit(fn)
+        else:
+            jit_cache[key] = jax.jit(body_for(chunk, channels))
+        return jit_cache[key]
 
     def render(params, skipdist, bbox, rays: RayBundle, channels: int):
         n = rays.origins.shape[0]
@@ -451,6 +492,22 @@ class Renderer:
         if num_rays:
             self._last_num_rays = num_rays
 
+    def retune_bucket_now(self, num_points: int, num_rays: int) -> None:
+        """Jump the compaction bucket directly to fit an observed batch.
+
+        The style stage marches with --max-steps 512 (double the recon dt),
+        so the recon-tuned bucket oversizes its budgets ~2-4x; unlike the
+        hysteresis in :meth:`_retune_bucket` (which bounds recompiles during
+        training), the style stage observes a full frame at once and can
+        retarget immediately — compiled fns are cached per bucket."""
+        if num_points <= 0 or num_rays <= 0:
+            return
+        self._last_num_rays = num_rays
+        self._mean_count_host = int(num_points)
+        self._budget_bucket = bucket_for(
+            num_points * 1.25 / num_rays, self.settings.max_samples_per_ray
+        )
+
     def maybe_update_state(self, params: Params, key: jax.Array) -> bool:
         if self.update_occ and (self._local_step_host % self.settings.update_iter == 0):
             self.update_state(params, key)
@@ -506,12 +563,14 @@ class Renderer:
         self, params: Params, rays: RayBundle, round_size: int = 32
     ) -> Dict[str, jnp.ndarray]:
         """Inference path without budget truncation (see make_render_round)."""
-        key = ("incremental", round_size)
+        mesh_size = self.mesh.devices.size if self.mesh is not None else 1
+        key = ("incremental", round_size, mesh_size)
         if key not in self._render_jit_cache:
             plan = self.make_plan(1, budget=1)  # num_rays re-bucketed inside
             self._render_jit_cache[key] = make_incremental_renderer(
                 self.field_spec, plan, self.settings.t_thresh,
                 self.settings.density_scale, self.compute_dtype, round_size,
+                bucket=self.settings.infer_bucket, mesh=self.mesh,
             )
         return self._render_jit_cache[key](
             params, self.occ_state.skipdist, self.bbox, rays,
@@ -552,10 +611,16 @@ class Renderer:
             d = (
                 jnp.concatenate([rays.dirs, jnp.ones((pad, 3))]) if pad else rays.dirs
             )
+            # Full-frame TRAINING renders (the style stage's pass 1) use the
+            # BUDGETED path — exactly the reference, whose pass 1 goes through
+            # render_train's compacted marching (trainers/style.py:177-179).
+            # Inference uses the incremental alive-ray loop, which never
+            # truncates (reference render_test, renderer.py:237-293).
+            use_incremental = self.settings.adaptive_march and not training
             pieces = []
             for i in range(0, n + pad, chunk):
                 piece_rays = RayBundle(o[i : i + chunk], d[i : i + chunk])
-                if self.settings.adaptive_march:
+                if use_incremental:
                     pieces.append(
                         self.render_ray_batch_incremental(params, piece_rays)
                     )

@@ -23,7 +23,6 @@ scales to arbitrary resolutions.
 from __future__ import annotations
 
 import time
-from itertools import product
 from pathlib import Path
 from typing import Dict, List
 
@@ -32,8 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import BaseConfig, ConfigValue
-from ..core.cameras import generate_rays
-from ..core.types import Box2D, LossValue
+from ..core.types import LossValue
 from ..data.style import SingleImage
 from ..losses.recon import mse_loss
 from ..losses.style import MattingLaplacian, get_style_loss
@@ -41,6 +39,32 @@ from ..models.vgg import VGG16FeatureExtractor
 from ..render.renderer import render_rays
 from ..training.trainer import Trainer
 from .. import utils
+
+
+def _tile_windows(w: int, h: int, pw: int, ph: int):
+    """Equal-shape window tiling of a w x h frame with ownership masks.
+
+    Returns (idx [G, pw*ph] int32 flat pixel indices, own [G, pw*ph] f32).
+    Border windows shift inward so every window is exactly pw x ph (static
+    shape for jit); each pixel is OWNED by the window of its unshifted tile,
+    so overlapping pixels contribute their cotangent exactly once.
+    """
+    gx = max(1, -(-w // pw))
+    gy = max(1, -(-h // ph))
+    idx_list, own_list = [], []
+    for j in range(gy):
+        sy = min(j * ph, h - ph)
+        for i in range(gx):
+            sx = min(i * pw, w - pw)
+            ys, xs = np.meshgrid(
+                np.arange(sy, sy + ph), np.arange(sx, sx + pw), indexing="ij"
+            )
+            idx_list.append((ys * w + xs).reshape(-1).astype(np.int32))
+            x_tile = np.minimum(xs // pw, gx - 1)
+            y_tile = np.minimum(ys // ph, gy - 1)
+            own = (x_tile == i) & (y_tile == j)
+            own_list.append(own.reshape(-1).astype(np.float32))
+    return np.stack(idx_list), np.stack(own_list)
 
 
 class StyleTrainer(Trainer):
@@ -78,7 +102,7 @@ class StyleTrainer(Trainer):
         style_feats = self.fx(self.style_image)
         self.style_loss.init_feats(style_feats, num_classes=self.train_set.num_classes)
 
-        self._patch_vjp_cache: Dict = {}
+        self._pass2_cache: Dict = {}
         self._data_iter = self.train_set.iter_shuffled(seed=self.train_cfg.rng_seed)
 
     # ------------------------------------------------------------------
@@ -114,37 +138,90 @@ class StyleTrainer(Trainer):
         frozen = {k: v for k, v in self.params.items() if k not in trainable}
         return trainable, frozen
 
-    def _patch_grad_fn(self, n_rays: int, budget: int):
-        """Jitted: (trainable, frozen, bitfield, origins, dirs, pixel_grad) ->
-        grads w.r.t. trainable params only."""
-        key = (n_rays, budget)
-        if key not in self._patch_vjp_cache:
-            spec = self.field_spec
-            settings = self.settings
-            bbox = self.train_set.bbox
-            plan = self.renderer.make_plan(n_rays, budget)
-            dtype = self.compute_dtype
+    def _pass2_grad_fn(self):
+        """ONE jitted function for the whole deferred-backprop pass 2.
 
-            def render_patch(trainable, frozen, bitfield, origins, dirs):
-                params = {**trainable, **frozen}
-                from ..core.types import RayBundle
+        The reference loops ``defer_patch_size`` patches on the host with one
+        backward launch each (style.py:189-198).  Here the frame is tiled
+        into equal-shape windows (border windows shift inward; each pixel's
+        cotangent is applied by exactly one owning window, so overlaps
+        contribute zero), and a single jitted ``lax.scan`` re-renders every
+        window under ``jax.grad`` of ``sum(rgb * pixel_grad)`` — which IS the
+        patch VJP — accumulating color-grid grads on device.  Per-iteration
+        dispatch count drops from #patches to 1; with a mesh, each window's
+        rays shard across devices (parallel/mesh.py).
+        """
+        key = self.renderer._budget_bucket
+        if key in self._pass2_cache:
+            return self._pass2_cache[key]
 
-                out = render_rays(
-                    spec, plan, params, bitfield, bbox, RayBundle(origins, dirs),
-                    settings.t_thresh, settings.density_scale, dtype,
-                )
-                return out["rgb_map"]
+        w, h = self.train_set.intr.size()
+        ps = self.train_cfg.defer_patch_size
+        pw, ph = min(ps, w), min(ps, h)
+        win_idx_np, win_own_np = _tile_windows(w, h, pw, ph)
+        n_pix = pw * ph
 
-            @jax.jit
-            def f(trainable, frozen, bitfield, origins, dirs, pixel_grad):
-                _, vjp = jax.vjp(
-                    lambda tr: render_patch(tr, frozen, bitfield, origins, dirs),
-                    trainable,
-                )
-                return vjp(pixel_grad)[0]
+        from ..core.cameras import camera_dir_grid
+        from ..core.types import make_rays
 
-            self._patch_vjp_cache[key] = f
-        return self._patch_vjp_cache[key]
+        cam_dirs_np, _ys, _xs = camera_dir_grid(
+            self.train_set.intr, self.settings.flip_camera
+        )
+        cam_dirs = jnp.asarray(cam_dirs_np.reshape(-1, 3))
+        win_idx = jnp.asarray(win_idx_np)
+        win_own = jnp.asarray(win_own_np)
+
+        spec = self.field_spec
+        settings = self.settings
+        bbox = self.train_set.bbox
+        plan = self.renderer.make_plan(n_pix)
+        dtype = self.compute_dtype
+
+        sharded = None
+        mesh = self.mesh
+        if (
+            mesh is not None
+            and n_pix % mesh.devices.size == 0
+            and plan.budget % mesh.devices.size == 0
+        ):
+            from ..parallel.mesh import build_sharded_cotangent_sum
+
+            sharded = build_sharded_cotangent_sum(
+                mesh, spec, plan, settings.t_thresh, settings.density_scale,
+                dtype,
+            )
+
+        @jax.jit
+        def f(trainable, frozen, bitfield, pose, grad_map_flat):
+            rot = pose[:3, :3]
+            origin = pose[:3, 3]
+
+            def body(acc, win):
+                idx, own = win
+                rays = make_rays(origin, cam_dirs[idx] @ rot.T)
+                cot = grad_map_flat[idx] * own[:, None]
+
+                def weighted_sum(tr):
+                    p = {**tr, **frozen}
+                    if sharded is not None:
+                        return sharded(
+                            p, bitfield, bbox, rays.origins, rays.dirs, cot
+                        )
+                    out = render_rays(
+                        spec, plan, p, bitfield, bbox, rays,
+                        settings.t_thresh, settings.density_scale, dtype,
+                    )
+                    return jnp.sum(out["rgb_map"] * cot)
+
+                g = jax.grad(weighted_sum)(trainable)
+                return jax.tree_util.tree_map(jnp.add, acc, g), None
+
+            acc0 = jax.tree_util.tree_map(jnp.zeros_like, trainable)
+            grads, _ = jax.lax.scan(body, acc0, (win_idx, win_own))
+            return grads
+
+        self._pass2_cache[key] = f
+        return f
 
     # ------------------------------------------------------------------
     # iteration (style.py:162-219)
@@ -159,6 +236,9 @@ class StyleTrainer(Trainer):
 
         # -- pass 1: full-image render, no gradients (style.py:177-179) --
         output = self.renderer.render(self.params, pose_dev, image_dev, training=True)
+        # Retarget the compaction bucket to the style stage's own marching
+        # (--max-steps 512 doubles dt vs recon, ~2-4x fewer samples/ray).
+        self.renderer.retune_bucket_now(int(output["num_points"]), w * h)
         rgb_map = output["rgb_map"]  # [HW, 3]
         target = output["target"]  # [HW, 4]
         target_chw = target[:, :3].T.reshape(3, h, w)
@@ -174,26 +254,13 @@ class StyleTrainer(Trainer):
         (total, scalars), pixel_grad = jax.value_and_grad(
             self._image_losses, has_aux=True
         )(rgb_map, target_chw, preds)
-        grad_map = pixel_grad.reshape(h, w, 3)
 
-        # -- pass 2: patch-wise VJP accumulation (style.py:189-198) --
+        # -- pass 2: all patch VJPs in one jitted scan (style.py:189-198) --
         trainable, frozen = self._split_params()
-        grads = jax.tree_util.tree_map(jnp.zeros_like, trainable)
-        ps = self.train_cfg.defer_patch_size
-        for x, y in product(range(0, w, ps), range(0, h, ps)):
-            patch = Box2D(x=x, y=y, w=min(ps, w - x), h=min(ps, h - y))
-            rays, _ = generate_rays(
-                pose_dev, self.train_set.intr, None, patch=patch,
-                camera_flip=self.settings.flip_camera,
-            )
-            n = len(rays)
-            budget = self.renderer.make_plan(n).budget
-            patch_grad = grad_map[patch.hrange(), patch.wrange()].reshape(-1, 3)
-            g = self._patch_grad_fn(n, budget)(
-                trainable, frozen, self.renderer.occ_field,
-                rays.origins, rays.dirs, patch_grad,
-            )
-            grads = jax.tree_util.tree_map(jnp.add, grads, g)
+        grads = self._pass2_grad_fn()(
+            trainable, frozen, self.renderer.occ_field, pose_dev,
+            pixel_grad,
+        )
 
         # -- optimizer step over the full param tree (masked to color grid) --
         full_grads = {

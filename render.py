@@ -130,6 +130,12 @@ def main() -> None:
     if "renderer_static" in meta:
         renderer.load_state_dict_static(meta["renderer_static"])
     renderer.update_occ = False
+    if jax.device_count() > 1:
+        # Shard each render chunk's rays across the slice (parallel/mesh.py).
+        from nerfstyle_tpu.parallel.mesh import make_mesh
+
+        renderer.mesh = make_mesh()
+        logger.info("Rendering data-parallel over %d devices", jax.device_count())
 
     import time
 

@@ -69,6 +69,24 @@ class TestIncrementalRender:
             rtol=2e-4, atol=2e-5,
         )
 
+    def test_sharded_incremental_matches_unsharded(self, setup):
+        """The shard_map-wrapped chunk renderer (per-device alive loops) must
+        reproduce the single-device incremental output."""
+        from nerfstyle_tpu.parallel.mesh import make_mesh
+
+        spec, params, plan, bbox, bits, sd, rays = setup
+        base = make_incremental_renderer(spec, plan, 1e-4, 1.0, round_size=16, bucket=8)
+        sharded = make_incremental_renderer(
+            spec, plan, 1e-4, 1.0, round_size=16, bucket=8, mesh=make_mesh(8)
+        )
+        a = base(params, sd, bbox, rays, 6)
+        b = sharded(params, sd, bbox, rays, 6)
+        assert int(a["num_points"]) == int(b["num_points"])
+        for key in ("rgb_map", "weights_sum", "classes", "trans_map"):
+            np.testing.assert_allclose(
+                np.asarray(a[key]), np.asarray(b[key]), rtol=2e-4, atol=2e-5
+            )
+
     def test_no_truncation_under_tiny_budget(self, setup):
         """With a starved budget the budgeted path drops late rays' samples;
         the incremental path must be unaffected (it has no budget)."""

@@ -102,6 +102,66 @@ class TestStyleStage:
         assert np.abs(color_after - color_before).max() > 0
         assert st.style_loss.matching is not None
 
+    def test_pass2_scan_equals_whole_image_vjp(self, recon_ckpt):
+        """The tiled-window scan (pass 2) must produce the same color-grid
+        grads as ONE whole-image VJP: window ownership partitions the pixels,
+        so sum-over-windows of sum(rgb*cot*own) == sum(rgb*cot)."""
+        root, data_cfg, ckpt, style_path, seg_path, tiny, _ = recon_ckpt
+        import jax
+        import jax.numpy as jnp
+        from nerfstyle_tpu.config import BaseConfig
+        from nerfstyle_tpu.core.cameras import generate_rays
+        from nerfstyle_tpu.render.renderer import render_rays
+        from nerfstyle_tpu.training.style_trainer import StyleTrainer
+
+        cfg = BaseConfig(
+            log_dir=root / "pass2_logs", data_cfg=data_cfg,
+            ckpt=ckpt, style_image=style_path,
+        )
+        nargs = list(tiny) + [
+            "--style_seg_path", str(seg_path),
+            "--defer_patch_size", "24",  # does NOT divide 64x48 -> shifted windows
+            "--test_before_train",
+            # Ample budgets: equivalence only holds when neither side's
+            # compaction budget truncates (per-window and whole-image budgets
+            # legitimately truncate different samples otherwise).
+            "--max_samples_per_ray", "64",
+        ]
+        st = StyleTrainer(cfg, nargs)
+        st.renderer._budget_bucket = 64  # == max_steps: no truncation possible
+        trainable, frozen = st._split_params()
+        _img, pose = st.train_set[0]
+        pose_dev = jnp.asarray(pose)
+        w, h = st.train_set.intr.size()
+        cot = jax.random.normal(jax.random.PRNGKey(9), (h * w, 3))
+
+        g_scan = st._pass2_grad_fn()(
+            trainable, frozen, st.renderer.occ_field, pose_dev, cot
+        )
+
+        rays, _ = generate_rays(
+            pose_dev, st.train_set.intr, None,
+            camera_flip=st.settings.flip_camera,
+        )
+        plan = st.renderer.make_plan(h * w)
+
+        def whole(tr):
+            out = render_rays(
+                st.field_spec, plan, {**tr, **frozen}, st.renderer.occ_field,
+                st.train_set.bbox, rays, st.settings.t_thresh,
+                st.settings.density_scale, st.compute_dtype,
+            )
+            return jnp.sum(out["rgb_map"] * cot)
+
+        g_full = jax.grad(whole)(trainable)
+        for k in g_scan:
+            a, b = np.asarray(g_scan[k]), np.asarray(g_full[k])
+            # fp reduction-order noise scales with the largest accumulated
+            # magnitude, not the per-element value.
+            np.testing.assert_allclose(
+                a, b, rtol=5e-3, atol=2e-3 * np.abs(b).max(),
+            )
+
     def test_render_cli_from_ckpt(self, recon_ckpt, monkeypatch, capsys):
         root, data_cfg, ckpt, *_ = recon_ckpt
         import sys
