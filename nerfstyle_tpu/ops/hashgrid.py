@@ -255,6 +255,60 @@ def _encode_from_indices(embeddings, flat_idx, weights, oob, b, out_dim):
     return out.reshape(b, out_dim)
 
 
+def grid_initialize(
+    spec: HashGridSpec,
+    ref_spec: HashGridSpec,
+    ref_embeddings: jnp.ndarray,
+    num_styles: int = 64,
+    chunk: int = 1 << 20,
+) -> jnp.ndarray:
+    """Multi-style table init: copy a trained (style-0) grid's features into
+    every style slot of a fresh table.
+
+    TPU-native rebuild of the reference ``grid_initialize`` CUDA kernel
+    (``gridencoder/src/gridencoder.cu:495-571``; Python caller
+    ``gridencoder/grid.py:154-164``): for each level, for every integer grid
+    corner ``pos`` in ``[0, res]^3``, read the reference table's style-0 value
+    at that corner and write it into the target table at the index law of
+    every style ``s < num_styles``.  Hash collisions make the surviving value
+    per row arbitrary — exactly like the CUDA kernel's unordered writes; when
+    the index map is injective (tiled levels) the copy is exact.
+
+    The feature is dormant in the reference (the ``StyleTCNerf.init_style``
+    caller is commented out, ``networks/style_nerf.py:100-116``); provided for
+    inventory completeness and future multi-style training.
+
+    Returns a new ``[spec.total_params, C]`` table (chunked host loop — this
+    is a one-time initialization, not a hot path; coarse levels are exact,
+    levels beyond ~2^8 resolution saturate their hashmap identically to the
+    reference).
+    """
+    c = ref_embeddings.shape[1]
+    out = jnp.zeros((spec.total_params, c), ref_embeddings.dtype)
+    for lvl in range(spec.num_levels):
+        res = spec.resolutions[lvl]
+        n_corners = (res + 1) ** 3
+        for start in range(0, n_corners, chunk):
+            ids = np.arange(start, min(start + chunk, n_corners), dtype=np.int64)
+            side = res + 1
+            pos = np.stack(
+                [ids // (side * side), (ids // side) % side, ids % side], axis=-1
+            ).astype(np.int32)
+            pos_j = jnp.asarray(pos)
+            ref_idx = (
+                _level_indices(pos_j, res, ref_spec.table_sizes[lvl], style=0)
+                + ref_spec.offsets[lvl]
+            )
+            vals = jnp.take(ref_embeddings, ref_idx, axis=0)
+            for s in range(num_styles):
+                idx_s = (
+                    _level_indices(pos_j, res, spec.table_sizes[lvl], style=s)
+                    + spec.offsets[lvl]
+                )
+                out = out.at[idx_s].set(vals)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Flat-domain hashed encoding
 #

@@ -124,6 +124,67 @@ class TestEncode:
         assert np.abs(f0 - f1).max() > 0
 
 
+class TestGridInitialize:
+    def test_each_written_row_holds_a_colliding_corner_value(self):
+        """For every table row and style, the initialized value must equal the
+        style-0 reference value of SOME corner hashing to that row — exactly
+        the guarantee of the CUDA kernel's unordered per-corner writes
+        (gridencoder.cu:495-571; collisions pick an arbitrary survivor)."""
+        from nerfstyle_tpu.ops.hashgrid import _level_indices, grid_initialize
+
+        spec = hashgrid_spec(2, 2, 4, per_level_scale=1.5, log2_hashmap_size=7)
+        ref = hashgrid_init(jax.random.PRNGKey(0), spec)
+        out = grid_initialize(spec, spec, ref, num_styles=3)
+        ref_np, out_np = np.asarray(ref), np.asarray(out)
+
+        for lvl in range(spec.num_levels):
+            res = spec.resolutions[lvl]
+            side = res + 1
+            ids = np.arange(side**3)
+            pos = np.stack(
+                [ids // (side * side), (ids // side) % side, ids % side], -1
+            ).astype(np.int32)
+            idx0 = np.asarray(
+                _level_indices(jnp.asarray(pos), res, spec.table_sizes[lvl], 0)
+            ) + spec.offsets[lvl]
+            # All styles write into the SAME table rows (the style only
+            # perturbs the hash), so a row's survivor may come from any
+            # (corner, style) pair mapping to it — as in the CUDA kernel.
+            idx_by_style = [
+                np.asarray(
+                    _level_indices(jnp.asarray(pos), res, spec.table_sizes[lvl], s)
+                ) + spec.offsets[lvl]
+                for s in range(3)
+            ]
+            all_rows = np.unique(np.concatenate(idx_by_style))
+            for row in all_rows:
+                sources = np.concatenate(
+                    [ref_np[idx0[idxs == row]] for idxs in idx_by_style]
+                )
+                got = out_np[row]
+                assert any(
+                    np.allclose(got, src, atol=1e-7) for src in sources
+                ), (lvl, row)
+
+    def test_hashed_levels_populate_rows(self):
+        """Hashed levels collide (arbitrary survivor, like the CUDA kernel's
+        unordered writes) but every written row must hold SOME style-0 corner
+        value."""
+        from nerfstyle_tpu.ops.hashgrid import grid_initialize
+
+        spec = hashgrid_spec(2, 2, 8, per_level_scale=1.5, log2_hashmap_size=8)
+        ref = hashgrid_init(jax.random.PRNGKey(2), spec)
+        out = grid_initialize(spec, spec, ref, num_styles=2)
+        ref_np = np.asarray(ref)
+        out_np = np.asarray(out)
+        assert np.abs(out_np).sum() > 0
+        # every nonzero output row equals some reference row
+        ref_set = {tuple(np.round(r, 7)) for r in ref_np}
+        nz = out_np[np.abs(out_np).sum(axis=1) > 0]
+        for row in nz[:: max(1, len(nz) // 50)]:
+            assert tuple(np.round(row, 7)) in ref_set
+
+
 class TestGrad:
     def test_embedding_grad_matches_fd(self):
         spec = hashgrid_spec(2, 2, 4, per_level_scale=2.0, log2_hashmap_size=6)
