@@ -23,7 +23,6 @@ scales to arbitrary resolutions.
 from __future__ import annotations
 
 import time
-from pathlib import Path
 from typing import Dict, List
 
 import jax
@@ -31,7 +30,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import BaseConfig, ConfigValue
-from ..core.types import LossValue
 from ..data.style import SingleImage
 from ..losses.recon import mse_loss
 from ..losses.style import MattingLaplacian, get_style_loss

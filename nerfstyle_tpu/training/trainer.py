@@ -49,9 +49,8 @@ from ..losses.recon import (
     sparsity_loss,
     weight_reg_loss,
 )
-from ..models.fields import field_apply, field_density, field_init, make_grid_spec, style_field_spec
+from ..models.fields import field_density, field_init, make_grid_spec, style_field_spec
 from ..parallel.mesh import (
-    build_sharded_density_fn,
     build_sharded_loss_terms,
     make_mesh,
 )
