@@ -433,36 +433,52 @@ class Renderer:
 
     # ---- occupancy maintenance (renderer.py:138-194) ----
 
-    def _sigma_fn(self, params: Params):
-        spec, bbox, dtype = self.field_spec, self.bbox, self.compute_dtype
+    def _update_fn(self, kind: str):
+        """Jitted occupancy update (one dispatch instead of dozens of eager
+        ops — each eager op is a round trip on the remote TPU tunnel)."""
+        key_ = ("occ_update", kind)
+        if key_ not in self._render_jit_cache:
+            spec, bbox, dtype = self.field_spec, self.bbox, self.compute_dtype
+            kwargs = dict(
+                bound=self.bound,
+                density_scale=self.settings.density_scale,
+                density_decay=self.settings.density_decay,
+                density_thresh=self.settings.density_thresh,
+            )
+            if self.settings.grid_bsize:
+                kwargs["chunk"] = int(self.settings.grid_bsize)
+            update = (
+                occupancy_update_full if kind == "full" else occupancy_update_random
+            )
+            mesh = self.mesh
 
-        def density(p, pts):
-            return field_density(spec, p, bbox, pts, compute_dtype=dtype)
+            def density(p, pts):
+                return field_density(spec, p, bbox, pts, compute_dtype=dtype)
 
-        if self.mesh is not None and self.mesh.devices.size > 1:
-            from ..parallel.mesh import build_sharded_density_fn
+            if mesh is not None and mesh.devices.size > 1:
+                from ..parallel.mesh import build_sharded_density_fn
 
-            sharded = build_sharded_density_fn(self.mesh, density)
-            return lambda pts: sharded(params, pts)
-        return lambda pts: density(params, pts)
+                sharded = build_sharded_density_fn(mesh, density)
+
+                def f(params, occ_state, key):
+                    return update(
+                        occ_state, lambda pts: sharded(params, pts), key, **kwargs
+                    )
+            else:
+
+                def f(params, occ_state, key):
+                    return update(
+                        occ_state, lambda pts: density(params, pts), key, **kwargs
+                    )
+
+            self._render_jit_cache[key_] = jax.jit(f)
+        return self._render_jit_cache[key_]
 
     def update_state(self, params: Params, key: jax.Array) -> None:
         """Periodic occupancy refresh; full sweep early, random later
         (renderer.py:139-194)."""
-        kwargs = dict(
-            bound=self.bound,
-            density_scale=self.settings.density_scale,
-            density_decay=self.settings.density_decay,
-            density_thresh=self.settings.density_thresh,
-        )
-        if self._local_step_host < self.settings.update_thres:
-            self.occ_state = occupancy_update_full(
-                self.occ_state, self._sigma_fn(params), key, **kwargs
-            )
-        else:
-            self.occ_state = occupancy_update_random(
-                self.occ_state, self._sigma_fn(params), key, **kwargs
-            )
+        kind = "full" if self._local_step_host < self.settings.update_thres else "random"
+        self.occ_state = self._update_fn(kind)(params, self.occ_state, key)
         # Host mirror of the device mean_count for budget bucketing (the
         # reference syncs its step counter here too, renderer.py:192-194).
         self._mean_count_host = int(self.occ_state.mean_count)
