@@ -56,7 +56,12 @@ def bench_train(work: Path, scene: Path, data_cfg: Path):
         "--intervals.test", "0",
         "--intervals.ckpt", "0",
         "--update_thres", "64",
-        "--max_samples_per_ray", "64",
+        # NOTE: do NOT cap max_samples_per_ray below the demand the scene
+        # develops.  A binding cap truncates exactly the samples whose
+        # gradients would suppress low-density fog, which then compounds
+        # (measured: occupancy 5% -> 18%, demand 30 -> 178 samples/ray,
+        # training diverged at ~1.2k iters under a 64 cap).  The reference
+        # sizes its buffer dynamically with NO cap (raymarching.py:233-236).
     ] + os.environ.get("NERFSTYLE_BENCH_EXTRA_ARGS", "").split()
     trainer = Trainer(cfg, nargs, assume_yes=True)
     num_rays = trainer.train_cfg.num_rays_per_batch

@@ -448,6 +448,12 @@ def hashgrid_encode(
     """
     c = embeddings.shape[1]
     if fast_vjp:
+        import os
+
+        # Debug switch: force exact fp32 sort payloads regardless of AMP
+        # (used to bisect precision-sensitive training behavior).
+        if os.environ.get("NERFSTYLE_NO_BWD_PACK"):
+            bwd_pack = False
         return _encode_fast(spec, style, bwd_pack and c % 2 == 0, embeddings, x)
     flat_idx, weights, oob = corner_indices_weights(spec, x, style)
     return _encode_from_indices(

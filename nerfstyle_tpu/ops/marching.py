@@ -74,6 +74,12 @@ class MarchPlan:
     num_rays: int
     budget: int
     min_near: float = 0.2
+    # Static candidate-window capacity of the two-stage march; None = the
+    # full window domain (never truncates, but gathers as much as the dense
+    # sweep).  The renderer tunes this from the running candidate count the
+    # march reports (SampleBatch.num_cand) the same way ``budget`` tracks
+    # mean_count.
+    window_budget: Optional[int] = None
 
     @property
     def dt(self) -> float:
@@ -109,6 +115,10 @@ class SampleBatch(NamedTuple):
     ray_id: jnp.ndarray  # [M] i32, == num_rays for padding slots
     valid: jnp.ndarray  # [M] bool
     num_kept: jnp.ndarray  # i32 scalar: samples that survived masking (pre-truncation)
+    # i32 scalar: two-stage candidate-window count BEFORE window-budget
+    # truncation (0 on the dense path); feeds the renderer's window-budget
+    # tuning so the capacity tracks the scene instead of silently starving.
+    num_cand: jnp.ndarray
 
 
 def cell_index_and_size(
@@ -209,16 +219,20 @@ def _march_two_stage(
     (value, reset) associative scan yields each window's per-ray exclusive
     kept-prefix.
 
-    Window-budget overflow (more candidate windows than WB) drops trailing
-    windows ray-major — the same graceful degradation as compaction-budget
-    overflow.  WB is sized so the fine domain is ~4x the sample budget.
+    Window-budget overflow (more candidate windows than ``plan.window_budget``)
+    drops trailing windows ray-major — graceful like compaction-budget
+    overflow — and is OBSERVABLE: ``num_cand`` reports the exact candidate
+    count regardless, so the renderer grows the capacity instead of letting
+    a truncated ``num_kept`` shrink the sample budget in a feedback loop.
+    With ``window_budget=None`` the full domain is used (never truncates).
     """
     n, t_lat, dt = plan.num_rays, plan.t_lattice, plan.dt
     s = stride
     h = plan.grid_size
     h3 = h * h * h
     tc = -(-t_lat // s)  # windows per ray
-    wb = max(n, (plan.budget + 1) // 2)  # candidate-window budget
+    wb = plan.window_budget if plan.window_budget is not None else n * tc
+    wb = min(max(wb, n), n * tc)
 
     # -- stage 1: coarse candidates [N, Tc] --
     kc = jnp.arange(tc, dtype=jnp.float32) * s
@@ -234,6 +248,7 @@ def _march_two_stage(
         d_lv = occ.skipdist[lv * h3 + cell_linear_index(coords, h)]
         d_world = jnp.minimum(d_world, (d_lv.astype(jnp.float32) - 1.0) * cell)
     cand = (d_world < s * dt) & (t_c < fars[:, None])
+    num_cand = jnp.sum(cand, dtype=jnp.int32)
 
     # -- stage 2: compact windows, exact occupancy on their fine points --
     widx = jnp.flatnonzero(cand.reshape(-1), size=wb, fill_value=n * tc)
@@ -297,6 +312,7 @@ def _march_two_stage(
         ray_id=ray_id,
         valid=valid,
         num_kept=num_kept,
+        num_cand=num_cand,
     )
 
 
@@ -350,6 +366,7 @@ def march_rays(
         ray_id=ray_id,
         valid=valid,
         num_kept=num_kept,
+        num_cand=jnp.zeros((), jnp.int32),
     )
 
 

@@ -61,10 +61,15 @@ def local_plan(plan_global: MarchPlan, n_dev: int) -> MarchPlan:
     assert plan_global.budget % n_dev == 0
     import dataclasses
 
+    wb = plan_global.window_budget
+    if wb is not None:
+        assert wb % n_dev == 0
+        wb = wb // n_dev
     return dataclasses.replace(
         plan_global,
         num_rays=plan_global.num_rays // n_dev,
         budget=plan_global.budget // n_dev,
+        window_budget=wb,
     )
 
 
@@ -96,13 +101,14 @@ def build_sharded_loss_terms(
     plan_l = local_plan(plan_global, n_dev)
 
     def shard_fn(params, bitfield, bbox, origins, dirs, targets, sparse_pts):
-        rgb, classes, _ws, n_kept = _render_shard(
+        rgb, classes, _ws, n_kept, n_cand = _render_shard(
             spec, plan_l, t_thresh, density_scale, compute_dtype,
             params, bitfield, bbox, origins, dirs,
         )
         terms = {
             "sq": jnp.sum((rgb - targets[:, :3]) ** 2),
             "num_points": n_kept,
+            "num_cand": n_cand,
         }
         if with_class and spec.class_dim > 0:
             labels = targets[:, 3].astype(jnp.int32)
@@ -146,7 +152,7 @@ def build_sharded_cotangent_sum(
     plan_l = local_plan(plan_global, n_dev)
 
     def shard_fn(params, bitfield, bbox, origins, dirs, cot):
-        rgb, _classes, _ws, _nk = _render_shard(
+        rgb, _classes, _ws, _nk, _nc = _render_shard(
             spec, plan_l, t_thresh, density_scale, compute_dtype,
             params, bitfield, bbox, origins, dirs,
         )
@@ -213,7 +219,7 @@ def _render_shard(
         sigmas * density_scale, rgbs, samples, plan_local.num_rays, plan_local.dt, t_thresh
     )
     rgb = out.image[:, :3] + (1.0 - out.weights_sum)[:, None]
-    return rgb, out.image[:, 3:], out.weights_sum, samples.num_kept
+    return rgb, out.image[:, 3:], out.weights_sum, samples.num_kept, samples.num_cand
 
 
 def build_sharded_render_loss(
@@ -242,7 +248,7 @@ def build_sharded_render_loss(
     )
 
     def shard_fn(params, bitfield, bbox, origins, dirs, targets):
-        rgb, classes, _ws, _nk = _render_shard(
+        rgb, classes, _ws, _nk, _nc = _render_shard(
             spec, plan_local, t_thresh, density_scale, compute_dtype,
             params, bitfield, bbox, origins, dirs,
         )

@@ -84,6 +84,11 @@ def cascade_for_bound(bound: float) -> int:
 # Recompile count stays bounded by the shrink-one-step-per-update hysteresis.
 _BUDGET_BUCKETS = (4, 8, 16, 24, 32, 48, 64, 96, 128, 192, 256)
 
+# Candidate-window capacity ladder (windows per ray) for the two-stage march;
+# tuned from SampleBatch.num_cand the same way the sample budget tracks
+# mean_count.  Start value = max (effectively the full domain — safe).
+_WINDOW_BUCKETS = (16, 32, 48, 64, 96, 128, 192, 256)
+
 
 def bucket_for(per_ray_want: float, max_per_ray: int) -> int:
     """Smallest ladder bucket covering ``per_ray_want`` samples/ray."""
@@ -134,6 +139,7 @@ def render_rays(
         "classes": classes,
         "weights_sum": out.weights_sum,
         "num_points": samples.num_kept,
+        "num_cand": samples.num_cand,
     }
 
 
@@ -428,6 +434,11 @@ class Renderer:
         self._budget_bucket = min(
             settings.max_samples_per_ray, max(_BUDGET_BUCKETS)
         )
+        # Candidate-window capacity (windows/ray) of the two-stage march;
+        # starts at the ladder max (~the full window domain: safe, slower)
+        # and shrinks with hysteresis as observed candidate counts allow.
+        self._window_bucket = max(_WINDOW_BUCKETS)
+        self._last_num_cand = None  # device scalar from the latest batch
 
         self._render_jit_cache = {}
 
@@ -491,6 +502,18 @@ class Renderer:
         # buffer at mean_count exactly and drops overflow,
         # raymarching.py:233-236 — 1.25x is strictly more generous).
         per_ray = self._mean_count_host * 1.25 / max(1, self._last_num_rays)
+        if per_ray > self.settings.max_samples_per_ray:
+            # A binding cap truncates exactly the samples whose gradients
+            # would suppress spurious density, which then compounds
+            # (measured: fog runaway + divergence under a 64 cap at 178
+            # samples/ray demand).  The reference's buffer is uncapped.
+            import warnings
+
+            warnings.warn(
+                f"sample demand ({per_ray:.0f}/ray) exceeds "
+                f"max_samples_per_ray={self.settings.max_samples_per_ray}; "
+                "training will truncate — raise the cap", stacklevel=2,
+            )
         cand = bucket_for(per_ray, self.settings.max_samples_per_ray)
         if cand > self._budget_bucket:
             self._budget_bucket = cand  # overflow: jump up immediately
@@ -500,15 +523,43 @@ class Renderer:
                 self._budget_bucket = min(
                     lower[-1], self.settings.max_samples_per_ray
                 )
+        if self._last_num_cand is not None:
+            self._retune_window_bucket(
+                int(self._last_num_cand), self._last_num_rays
+            )
 
-    def note_batch_points(self, num_points, num_rays: Optional[int] = None) -> None:
+    def _retune_window_bucket(self, cand: int, num_rays: int) -> None:
+        """Grow the window capacity immediately on pressure, shrink one ladder
+        step at a time.  A too-small capacity silently drops candidate
+        windows AND corrupts num_kept, which would spiral the sample budget
+        down — the observed num_cand is exact, so growth is reliable."""
+        if cand <= 0:
+            return
+        per_ray = cand * 1.25 / max(1, num_rays)
+        want = next(
+            (b for b in _WINDOW_BUCKETS if b >= per_ray), max(_WINDOW_BUCKETS)
+        )
+        if want > self._window_bucket:
+            self._window_bucket = want
+        elif want < self._window_bucket:
+            lower = [b for b in _WINDOW_BUCKETS if b < self._window_bucket]
+            if lower:
+                self._window_bucket = lower[-1]
+
+    def note_batch_points(
+        self, num_points, num_rays: Optional[int] = None, num_cand=None
+    ) -> None:
         """Feed the compacted point count of a train batch into mean_count."""
         self.occ_state = update_mean_count(self.occ_state, jnp.asarray(num_points))
         self._local_step_host += 1
         if num_rays:
             self._last_num_rays = num_rays
+        if num_cand is not None:
+            self._last_num_cand = num_cand  # device scalar; fetched at retune
 
-    def retune_bucket_now(self, num_points: int, num_rays: int) -> None:
+    def retune_bucket_now(
+        self, num_points: int, num_rays: int, num_cand=None
+    ) -> None:
         """Jump the compaction bucket directly to fit an observed batch.
 
         The style stage marches with --max-steps 512 (double the recon dt),
@@ -523,6 +574,8 @@ class Renderer:
         self._budget_bucket = bucket_for(
             num_points * 1.25 / num_rays, self.settings.max_samples_per_ray
         )
+        if num_cand is not None:
+            self._retune_window_bucket(int(num_cand), num_rays)
 
     def maybe_update_state(self, params: Params, key: jax.Array) -> bool:
         if self.update_occ and (self._local_step_host % self.settings.update_iter == 0):
@@ -543,6 +596,7 @@ class Renderer:
             num_rays=num_rays,
             budget=budget,
             min_near=self.settings.min_near,
+            window_budget=num_rays * self._window_bucket,
         )
 
     def _render_fn(self, plan: MarchPlan):
@@ -649,6 +703,8 @@ class Renderer:
             # Device-side sum: chunks dispatch back-to-back with no host
             # fetch between them (each fetch is a full tunnel round trip).
             out["num_points"] = sum(p["num_points"] for p in pieces)
+            if all("num_cand" in p for p in pieces):  # budgeted chunks only
+                out["num_cand"] = sum(p["num_cand"] for p in pieces)
 
         output.update(out)
         return output
@@ -668,6 +724,7 @@ class Renderer:
             "bound": self.bound,
             "budget_bucket": self._budget_bucket,
             "last_num_rays": self._last_num_rays,
+            "window_bucket": self._window_bucket,
         }
 
     def load_state_dict_static(self, sd: Dict[str, object]) -> None:
@@ -684,6 +741,8 @@ class Renderer:
                 int(sd["budget_bucket"]), self.settings.max_samples_per_ray
             )
             self._last_num_rays = int(sd.get("last_num_rays", 1))
+            if "window_bucket" in sd:
+                self._window_bucket = int(sd["window_bucket"])
         elif self._mean_count_host > 0:
             # Legacy ckpt: assume the reference's default train batch size.
             self._last_num_rays = 4096

@@ -236,7 +236,9 @@ class StyleTrainer(Trainer):
         output = self.renderer.render(self.params, pose_dev, image_dev, training=True)
         # Retarget the compaction bucket to the style stage's own marching
         # (--max-steps 512 doubles dt vs recon, ~2-4x fewer samples/ray).
-        self.renderer.retune_bucket_now(int(output["num_points"]), w * h)
+        self.renderer.retune_bucket_now(
+            int(output["num_points"]), w * h, output.get("num_cand")
+        )
         rgb_map = output["rgb_map"]  # [HW, 3]
         target = output["target"]  # [HW, 4]
         target_chw = target[:, :3].T.reshape(3, h, w)

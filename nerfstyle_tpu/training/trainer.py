@@ -400,6 +400,7 @@ class Trainer:
                     params, bitfield, bbox, rays.origins, rays.dirs, target, pts
                 )
                 num_points = terms["num_points"]
+                num_cand = terms["num_cand"]
                 mse = terms["sq"] / (3.0 * num_rays)
                 losses["mse"] = mse
                 losses["psnr"] = utils.compute_psnr(mse)
@@ -420,6 +421,7 @@ class Trainer:
                     settings.t_thresh, settings.density_scale, dtype,
                 )
                 num_points = out["num_points"]
+                num_cand = out["num_cand"]
                 mse = mse_loss(out["rgb_map"], target[:, :3])
                 losses["mse"] = mse
                 losses["psnr"] = utils.compute_psnr(mse)
@@ -445,17 +447,17 @@ class Trainer:
                 total = total + wr
 
             losses["total"] = total
-            return total, (losses, num_points)
+            return total, (losses, num_points, num_cand)
 
         @jax.jit
         def step(params, opt_state, ema_state, bitfield, image, pose, key):
-            (_, (losses, num_points)), grads = jax.value_and_grad(
+            (_, (losses, num_points, num_cand)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(params, bitfield, image, pose, key)
             updates, opt_state = optim.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             ema_state = ema_update(ema_state, params, ema_decay)
-            return params, opt_state, ema_state, losses, num_points
+            return params, opt_state, ema_state, losses, num_points, num_cand
 
         return step
 
@@ -490,6 +492,7 @@ class Trainer:
             self.ema_state,
             losses,
             num_points,
+            num_cand,
         ) = step_fn(
             self.params,
             self.opt_state,
@@ -504,7 +507,7 @@ class Trainer:
             k_step,
         )
         self.renderer.note_batch_points(
-            num_points, self.train_cfg.num_rays_per_batch
+            num_points, self.train_cfg.num_rays_per_batch, num_cand
         )
 
         self.iter_ctr += 1

@@ -149,6 +149,7 @@ class TestComposite:
             xyz=jnp.zeros((m, 3)), dirs=jnp.zeros((m, 3)),
             tau=jnp.asarray(taus), ray_id=jnp.asarray(ray_ids),
             valid=jnp.asarray(valid), num_kept=jnp.asarray(int(valid.sum())),
+            num_cand=jnp.zeros((), jnp.int32),
         )
         return sigmas, rgbs, taus, ray_ids, valid, batch
 
@@ -174,6 +175,7 @@ class TestComposite:
         batch = SampleBatch(
             xyz=jnp.zeros((m, 3)), dirs=jnp.zeros((m, 3)), tau=jnp.asarray(taus),
             ray_id=jnp.asarray(ray_ids), valid=jnp.ones(m, bool), num_kept=jnp.asarray(m),
+            num_cand=jnp.zeros((), jnp.int32),
         )
         out = composite_rays(jnp.asarray(sigmas), jnp.asarray(rgbs), batch, n, dt, 1e-4)
         want_img, want_ws, want_d = _ref_composite(sigmas, rgbs, taus, ray_ids, n, dt, 1e-4)
@@ -263,6 +265,60 @@ class TestAdaptiveMarch:
             np.asarray(dense.xyz), np.asarray(adapt.xyz), rtol=1e-6, atol=1e-6
         )
         assert int(dense.num_kept) == int(adapt.num_kept)
+
+    def test_window_budget_overflow_is_observable(self):
+        """A starved window_budget truncates samples (graceful) but num_cand
+        must still report the EXACT candidate count, so the renderer can grow
+        the capacity instead of spiraling the sample budget down (round-2
+        divergence root cause)."""
+        from nerfstyle_tpu.ops.marching import OccField
+        from nerfstyle_tpu.ops.occupancy import skipdist_from_bitfield
+        import dataclasses
+
+        rng = np.random.default_rng(7)
+        plan = _make_plan(16, bound=2.0, h=16, max_steps=64)
+        bits = jnp.asarray(rng.random(plan.cascade * 16**3) < 0.5)  # dense occ
+        sd = skipdist_from_bitfield(bits, 16)
+        o = rng.normal(size=(16, 3)).astype(np.float32) * 3.0
+        d = rng.normal(size=(16, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        rays = make_rays(jnp.asarray(o), jnp.asarray(d))
+        nears, fars = near_far_from_aabb(rays.origins, rays.dirs, plan.aabb, plan.min_near)
+
+        ample = march_rays(plan, OccField(bits, sd), rays, nears, fars)
+        n_cand = int(ample.num_cand)
+        assert n_cand > 16  # dense occupancy -> many candidate windows
+
+        starved_plan = dataclasses.replace(plan, window_budget=8)
+        starved = march_rays(starved_plan, OccField(bits, sd), rays, nears, fars)
+        # truncated kept count, but the candidate count stays exact
+        assert int(starved.num_kept) < int(ample.num_kept)
+        assert int(starved.num_cand) == n_cand
+
+    def test_renderer_window_bucket_grows_on_pressure(self):
+        from nerfstyle_tpu.render.renderer import (
+            _WINDOW_BUCKETS, RenderSettings, Renderer,
+        )
+        from nerfstyle_tpu.models.fields import style_field_spec
+        from nerfstyle_tpu.ops.hashgrid import hashgrid_spec
+        from nerfstyle_tpu.core.types import BBox, Intrinsics
+
+        spec = style_field_spec(
+            hashgrid_spec(2, 2, 8, per_level_scale=1.5, log2_hashmap_size=8),
+            class_dim=0,
+        )
+        r = Renderer(
+            spec, BBox.from_radius(1.0), RenderSettings(grid_size=16),
+            Intrinsics(w=8, h=8, fx=4, fy=4, cx=4, cy=4), 1.0,
+        )
+        r._window_bucket = min(_WINDOW_BUCKETS)
+        r._retune_window_bucket(cand=100 * 64, num_rays=64)  # 100/ray observed
+        assert r._window_bucket >= 128  # jumped up immediately
+        # shrink is one ladder step at a time
+        before = r._window_bucket
+        r._retune_window_bucket(cand=2 * 64, num_rays=64)
+        idx = _WINDOW_BUCKETS.index(before)
+        assert r._window_bucket == _WINDOW_BUCKETS[idx - 1]
 
     def test_skipdist_semantics(self):
         from nerfstyle_tpu.ops.occupancy import SKIP_DMAX, skipdist_from_bitfield

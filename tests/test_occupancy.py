@@ -135,6 +135,7 @@ class TestStratifiedOracle:
             tau=jnp.zeros(n * k),
             ray_id=jnp.repeat(jnp.arange(n, dtype=jnp.int32), k),
             valid=jnp.ones(n * k, bool), num_kept=jnp.asarray(n * k),
+            num_cand=jnp.zeros((), jnp.int32),
         )
         out = composite_rays(sig.reshape(-1), rgb.reshape(-1, 3), batch, n, dt, t_thresh=0.0)
         np.testing.assert_allclose(np.asarray(out.image), np.asarray(rgb_map), rtol=1e-4, atol=1e-5)

@@ -162,9 +162,9 @@ class TestTrainerMesh:
         outs = []
         for tr in (tr_mesh, tr_single):
             step = tr._get_train_step()
-            _, _, _, losses, num_points = step(
+            _, _, _, losses, num_points, _num_cand = step(
                 tr.params, tr.opt_state, tr.ema_state,
-                OccField(tr.renderer.occ_state.bitfield),
+                tr.renderer.occ_field,
                 tr._images_dev[0], tr._poses_dev[0], k_step,
             )
             outs.append((losses, int(num_points)))
