@@ -72,7 +72,14 @@ def composite_rays(
         t_thresh: transmittance early-stop threshold (cfg.t_thresh).
     """
     valid = samples.valid
-    sdt = jnp.where(valid, sigmas * dt, 0.0)
+    # Clamp the optical depth per sample: for any sdt >= ~88, alpha == 1.0
+    # and T == 0.0 exactly in fp32, so a cap at 100 is numerically identical
+    # — but WITHOUT it a single sigma=inf sample (transient exp overflow in
+    # the unclamped trunc_exp forward, which the reference has too) turns
+    # the exclusive-cumsum difference into inf - inf = NaN and poisons the
+    # whole step.  The reference's sequential CUDA loop never forms that
+    # difference; this cap is the scan formulation's equivalent.
+    sdt = jnp.where(valid, jnp.minimum(sigmas * dt, 100.0), 0.0)
 
     excl = segment_exclusive_cumsum(sdt, samples.ray_id, num_rays)
     trans = jnp.exp(-excl)  # T entering each sample

@@ -182,7 +182,13 @@ def make_render_round(
             compute_dtype=compute_dtype,
         )
         c = rgbs.shape[-1]
-        sdt = jnp.where(valid, sigmas.reshape(n, s) * density_scale * dt, 0.0)
+        # sdt capped at 100 for the same inf - inf NaN guard as
+        # ops/compositing.py (numerically identical: alpha==1, T==0 there).
+        sdt = jnp.where(
+            valid,
+            jnp.minimum(sigmas.reshape(n, s) * density_scale * dt, 100.0),
+            0.0,
+        )
         alpha = 1.0 - jnp.exp(-sdt)
         excl = jnp.cumsum(sdt, axis=1) - sdt
         trans = trans_in[:, None] * jnp.exp(-excl)  # T entering each sample

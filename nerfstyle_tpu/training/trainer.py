@@ -316,8 +316,16 @@ class Trainer:
         self.logger.info(
             "Optimizing %d parameters from components %s", n_trainable, keywords
         )
-        self.optim = optax.masked(
-            optax.adam(self._lr_schedule(), b1=0.9, b2=0.999, eps=1e-15), mask
+        # apply_if_finite = the reference's GradScaler skip-on-inf semantics
+        # (trainers/base.py:420-425): a batch with non-finite grads (e.g. a
+        # transient exp overflow in the unclamped density activation) leaves
+        # params/optimizer untouched instead of poisoning them.
+        self.optim = optax.apply_if_finite(
+            optax.masked(
+                optax.adam(self._lr_schedule(), b1=0.9, b2=0.999, eps=1e-15),
+                mask,
+            ),
+            max_consecutive_errors=1000,
         )
         self.opt_state = self.optim.init(self.params)
 

@@ -320,6 +320,37 @@ class TestAdaptiveMarch:
         idx = _WINDOW_BUCKETS.index(before)
         assert r._window_bucket == _WINDOW_BUCKETS[idx - 1]
 
+    def test_composite_survives_infinite_sigma(self):
+        """A transient sigma=inf sample (exp overflow in the unclamped
+        trunc_exp forward — the reference's activation is unclamped too) must
+        NOT produce NaN: the sdt cap makes alpha==1 / T==0 exactly, matching
+        the reference's sequential loop, and gradients stay finite (the
+        GradScaler-parity skip never needs to fire for this case)."""
+        import jax
+
+        n, m, c = 2, 8, 5
+        sigmas = jnp.full((m,), 5.0).at[3].set(jnp.inf)
+        rgbs = jnp.full((m, c), 0.5)
+        batch = SampleBatch(
+            xyz=jnp.zeros((m, 3)), dirs=jnp.zeros((m, 3)),
+            tau=jnp.arange(m, dtype=jnp.float32),
+            ray_id=jnp.asarray([0, 0, 0, 0, 1, 1, 1, 1], jnp.int32),
+            valid=jnp.ones((m,), bool), num_kept=jnp.asarray(m),
+            num_cand=jnp.zeros((), jnp.int32),
+        )
+        out = composite_rays(sigmas, rgbs, batch, n, dt=0.05, t_thresh=1e-4)
+        assert np.all(np.isfinite(np.asarray(out.image)))
+        assert np.all(np.isfinite(np.asarray(out.weights_sum)))
+
+        def loss(s):
+            o = composite_rays(s, rgbs, batch, n, dt=0.05, t_thresh=1e-4)
+            return jnp.sum(o.image) + jnp.sum(o.weights_sum)
+
+        g = np.asarray(jax.grad(loss)(sigmas))
+        # the inf sample's own grad may be nan/0 (it saturates), but every
+        # other sample's gradient must stay finite
+        assert np.all(np.isfinite(np.delete(g, 3)))
+
     def test_skipdist_semantics(self):
         from nerfstyle_tpu.ops.occupancy import SKIP_DMAX, skipdist_from_bitfield
 

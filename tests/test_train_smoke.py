@@ -82,5 +82,29 @@ class TestTrainSmoke:
         np.testing.assert_array_equal(a, b)
 
 
+def test_nonfinite_grads_skip_the_step(tmp_path):
+    """GradScaler-parity (reference trainers/base.py:420-425): a batch with
+    non-finite gradients must leave params untouched."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    params = {"net": jnp.ones((4,))}
+    optim = optax.apply_if_finite(optax.adam(1e-2), max_consecutive_errors=10)
+    state = optim.init(params)
+
+    bad = {"net": jnp.asarray([1.0, jnp.nan, 1.0, 1.0])}
+    updates, state = optim.update(bad, state, params)
+    p2 = optax.apply_updates(params, updates)
+    np.testing.assert_array_equal(np.asarray(p2["net"]), np.asarray(params["net"]))
+    assert int(state.notfinite_count) == 1
+
+    good = {"net": jnp.ones((4,))}
+    updates, state = optim.update(good, state, p2)
+    p3 = optax.apply_updates(p2, updates)
+    assert float(np.abs(np.asarray(p3["net"]) - np.asarray(p2["net"])).max()) > 0
+    assert int(state.notfinite_count) == 0
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
