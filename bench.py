@@ -246,7 +246,6 @@ def main():
         pass
 
     work = Path(os.environ.get("NERFSTYLE_BENCH_DIR", "/tmp/nerfstyle_bench"))
-    scene = work / "scene_504"
     from nerfstyle_tpu.data.synthetic import generate_scene
 
     # 504x378: the LLFF images_8 resolution class (BASELINE.md).

@@ -384,7 +384,8 @@ def march_rays_round(
     TPU-native rebuild of the reference's incremental inference marcher
     (``march_rays``, raymarching.cu:1005-1120): instead of compacting alive
     rays, every ray fills its own [round_size] slot row (t_lat = miss) and the
-    caller masks.  Same cross-level skip logic as :func:`_kept_mask_adaptive`.
+    caller masks.  Same cross-level skip semantics as the two-stage
+    marcher's coarse pass (:func:`_march_two_stage`).
 
     Returns (ks [N, S] i32 lattice indices (t_lat where missing),
     k_next [N] resume position, emitted [N] count).

@@ -86,8 +86,9 @@ _BUDGET_BUCKETS = (4, 8, 16, 24, 32, 48, 64, 96, 128, 192, 256)
 
 # Candidate-window capacity ladder (windows per ray) for the two-stage march;
 # tuned from SampleBatch.num_cand the same way the sample budget tracks
-# mean_count.  Start value = max (effectively the full domain — safe).
-_WINDOW_BUCKETS = (16, 32, 48, 64, 96, 128, 192, 256)
+# mean_count.  Start value = max (effectively the full domain — safe: the
+# march clamps window_budget to num_rays * ceil(t_lattice / stride)).
+_WINDOW_BUCKETS = (16, 32, 48, 64, 96, 128, 192, 256, 384, 512)
 
 
 def bucket_for(per_ray_want: float, max_per_ray: int) -> int:
@@ -453,7 +454,10 @@ class Renderer:
     def _update_fn(self, kind: str):
         """Jitted occupancy update (one dispatch instead of dozens of eager
         ops — each eager op is a round trip on the remote TPU tunnel)."""
-        key_ = ("occ_update", kind)
+        # mesh identity keys the cache: the mesh is attached externally
+        # after construction, and a stale closure would freeze the sharding
+        # decision (or keep a dead mesh).
+        key_ = ("occ_update", kind, id(self.mesh))
         if key_ not in self._render_jit_cache:
             spec, bbox, dtype = self.field_spec, self.bbox, self.compute_dtype
             kwargs = dict(
@@ -542,6 +546,14 @@ class Renderer:
         if cand <= 0:
             return
         per_ray = cand * 1.25 / max(1, num_rays)
+        if per_ray > max(_WINDOW_BUCKETS):
+            import warnings
+
+            warnings.warn(
+                f"candidate-window demand ({per_ray:.0f}/ray) exceeds the "
+                f"capacity ladder max ({max(_WINDOW_BUCKETS)}); the march "
+                "will truncate windows", stacklevel=2,
+            )
         want = next(
             (b for b in _WINDOW_BUCKETS if b >= per_ray), max(_WINDOW_BUCKETS)
         )
@@ -606,7 +618,7 @@ class Renderer:
         )
 
     def _render_fn(self, plan: MarchPlan):
-        key = (plan.num_rays, plan.budget)
+        key = (plan.num_rays, plan.budget, plan.window_budget)
         if key not in self._render_jit_cache:
             spec = self.field_spec
             t_thresh = self.settings.t_thresh
@@ -639,8 +651,7 @@ class Renderer:
         self, params: Params, rays: RayBundle, round_size: int = 32
     ) -> Dict[str, jnp.ndarray]:
         """Inference path without budget truncation (see make_render_round)."""
-        mesh_size = self.mesh.devices.size if self.mesh is not None else 1
-        key = ("incremental", round_size, mesh_size)
+        key = ("incremental", round_size, id(self.mesh))
         if key not in self._render_jit_cache:
             plan = self.make_plan(1, budget=1)  # num_rays re-bucketed inside
             self._render_jit_cache[key] = make_incremental_renderer(

@@ -149,7 +149,7 @@ class StyleTrainer(Trainer):
         dispatch count drops from #patches to 1; with a mesh, each window's
         rays shard across devices (parallel/mesh.py).
         """
-        key = self.renderer._budget_bucket
+        key = (self.renderer._budget_bucket, self.renderer._window_bucket)
         if key in self._pass2_cache:
             return self._pass2_cache[key]
 
@@ -172,7 +172,14 @@ class StyleTrainer(Trainer):
         spec = self.field_spec
         settings = self.settings
         bbox = self.train_set.bbox
-        plan = self.renderer.make_plan(n_pix)
+        # Per-window demand can exceed the FRAME-mean bucket severalfold (an
+        # object-covering window vs sky windows), so pass 2 budgets 2x the
+        # frame bucket per window — the window VJP must see the same samples
+        # pass 1 rendered.
+        per_ray = min(
+            2 * self.renderer._budget_bucket, settings.max_samples_per_ray
+        )
+        plan = self.renderer.make_plan(n_pix, budget=n_pix * per_ray)
         dtype = self.compute_dtype
 
         sharded = None
@@ -236,9 +243,12 @@ class StyleTrainer(Trainer):
         output = self.renderer.render(self.params, pose_dev, image_dev, training=True)
         # Retarget the compaction bucket to the style stage's own marching
         # (--max-steps 512 doubles dt vs recon, ~2-4x fewer samples/ray).
-        self.renderer.retune_bucket_now(
-            int(output["num_points"]), w * h, output.get("num_cand")
-        )
+        # Every 8th iter: the int() is a blocking device fetch, and the
+        # bucket is stable after the first frame.
+        if self.iter_ctr % 8 == 0:
+            self.renderer.retune_bucket_now(
+                int(output["num_points"]), w * h, output.get("num_cand")
+            )
         rgb_map = output["rgb_map"]  # [HW, 3]
         target = output["target"]  # [HW, 4]
         target_chw = target[:, :3].T.reshape(3, h, w)

@@ -476,7 +476,10 @@ class Trainer:
             else 1.0
         )
         plan = self.renderer.make_plan(self.train_cfg.num_rays_per_batch)
-        cache_key = (plan.budget, precrop)
+        # window_budget MUST key the cache: a stale compiled step would keep
+        # marching with an outgrown window capacity — the silent-starvation
+        # loop the window-bucket tuning exists to prevent.
+        cache_key = (plan.budget, plan.window_budget, precrop)
         if cache_key not in self._train_step_cache:
             self._train_step_cache[cache_key] = self._build_train_step(plan, precrop)
         return self._train_step_cache[cache_key]
@@ -687,7 +690,18 @@ class Trainer:
         if "renderer_static" in meta:
             self.renderer.load_state_dict_static(meta["renderer_static"])
         if not load_model_only:
-            self.opt_state = ckpt_lib.restore_tree(self.opt_state, groups["opt_state"])
+            try:
+                self.opt_state = ckpt_lib.restore_tree(
+                    self.opt_state, groups["opt_state"]
+                )
+            except ValueError:
+                # Optimizer-state schema changed (e.g. the apply_if_finite
+                # wrapper added leaves).  A fresh optimizer beats aborting the
+                # resume: Adam moments rebuild within a few hundred steps.
+                self.logger.warning(
+                    "Checkpoint optimizer state does not match the current "
+                    "optimizer schema; resuming with a FRESH optimizer state."
+                )
             self.ema_state = ckpt_lib.restore_tree(self.ema_state, groups["ema"])
 
 
