@@ -81,7 +81,8 @@ def cascade_for_bound(bound: float) -> int:
 # powers of two: each step is ~1.4x, so the budget tracks mean_count within
 # ~25% instead of ~50% — encoder/sort work scales with the budget (round-2
 # phase profile: the bench ran at bucket 64 while mean samples/ray was 36).
-# Recompile count stays bounded by the shrink-one-step-per-update hysteresis.
+# Recompile count stays bounded by the debounced direct-jump policy
+# (_debounced_jump below).
 _BUDGET_BUCKETS = (4, 8, 16, 24, 32, 48, 64, 96, 128, 192, 256)
 
 # Candidate-window capacity ladder (windows per ray) for the two-stage march;
@@ -89,6 +90,33 @@ _BUDGET_BUCKETS = (4, 8, 16, 24, 32, 48, 64, 96, 128, 192, 256)
 # mean_count.  Start value = max (effectively the full domain — safe: the
 # march clamps window_budget to num_rays * ceil(t_lattice / stride)).
 _WINDOW_BUCKETS = (16, 32, 48, 64, 96, 128, 192, 256, 384, 512)
+
+
+def _debounced_jump(current: int, want: int, streak: dict) -> int:
+    """Bucket update policy: GROW immediately (correctness: a too-small
+    capacity truncates), SHRINK by jumping DIRECTLY to the wanted value once
+    it has been wanted for 2 consecutive retunes.
+
+    Every bucket value is a separate XLA compilation of its dependent jitted
+    fns (the capacity is a static shape and MUST key their caches), so the
+    one-ladder-step-per-update descent of an earlier revision caused a
+    recompile at EVERY rung; the debounced direct jump bounds a descent to
+    ~1 recompile while still ignoring single-batch dips."""
+    if want > current:
+        streak.clear()
+        return want
+    if want < current:
+        if streak.get("want") == want:
+            streak["n"] = streak.get("n", 1) + 1
+        else:
+            streak.clear()
+            streak["want"], streak["n"] = want, 1
+        if streak["n"] >= 2:
+            streak.clear()
+            return want
+    else:
+        streak.clear()
+    return current
 
 
 def bucket_for(per_ray_want: float, max_per_ray: int) -> int:
@@ -446,6 +474,8 @@ class Renderer:
         # and shrinks with hysteresis as observed candidate counts allow.
         self._window_bucket = max(_WINDOW_BUCKETS)
         self._last_num_cand = None  # device scalar from the latest batch
+        self._bucket_debounce: dict = {}
+        self._window_debounce: dict = {}
 
         self._render_jit_cache = {}
 
@@ -525,22 +555,17 @@ class Renderer:
                 "training will truncate — raise the cap", stacklevel=2,
             )
         cand = bucket_for(per_ray, self.settings.max_samples_per_ray)
-        if cand > self._budget_bucket:
-            self._budget_bucket = cand  # overflow: jump up immediately
-        elif cand < self._budget_bucket:
-            lower = [b for b in _BUDGET_BUCKETS if b < self._budget_bucket]
-            if lower:  # shrink gradually, one ladder step per update
-                self._budget_bucket = min(
-                    lower[-1], self.settings.max_samples_per_ray
-                )
+        self._budget_bucket = _debounced_jump(
+            self._budget_bucket, cand, self._bucket_debounce
+        )
         if self._last_num_cand is not None:
             self._retune_window_bucket(
                 int(self._last_num_cand), self._last_num_rays
             )
 
     def _retune_window_bucket(self, cand: int, num_rays: int) -> None:
-        """Grow the window capacity immediately on pressure, shrink one ladder
-        step at a time.  A too-small capacity silently drops candidate
+        """Grow the window capacity immediately on pressure; shrink with a
+        debounced DIRECT jump.  A too-small capacity silently drops candidate
         windows AND corrupts num_kept, which would spiral the sample budget
         down — the observed num_cand is exact, so growth is reliable."""
         if cand <= 0:
@@ -557,12 +582,9 @@ class Renderer:
         want = next(
             (b for b in _WINDOW_BUCKETS if b >= per_ray), max(_WINDOW_BUCKETS)
         )
-        if want > self._window_bucket:
-            self._window_bucket = want
-        elif want < self._window_bucket:
-            lower = [b for b in _WINDOW_BUCKETS if b < self._window_bucket]
-            if lower:
-                self._window_bucket = lower[-1]
+        self._window_bucket = _debounced_jump(
+            self._window_bucket, want, self._window_debounce
+        )
 
     def note_batch_points(
         self, num_points, num_rays: Optional[int] = None, num_cand=None

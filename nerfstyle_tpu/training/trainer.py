@@ -13,10 +13,10 @@ TPU-first design — one fused device program per iteration:
   * Ray generation, occupancy-guided marching, the field MLPs, compositing,
     all losses, the backward pass, the Adam update, and the EMA update are one
     jitted function of the train-state pytree.
-  * Mixed precision is bf16 compute (enable_amp); there is no GradScaler
-    machinery because bf16 shares fp32's exponent range — this intentionally
-    replaces the reference's fp16 AMP + loss-scale skip logic
-    (trainers/base.py:420-425).
+  * Mixed precision is bf16 compute (enable_amp); there is no loss-SCALING
+    machinery because bf16 shares fp32's exponent range, and the GradScaler's
+    skip-on-nonfinite behavior is kept via optax.apply_if_finite — together
+    replacing the reference's fp16 AMP + GradScaler (trainers/base.py:420-425).
   * The occupancy-grid refresh every ``update_iter`` steps is its own jitted
     function (full sweep before ``update_thres``, random resample after),
     mirroring renderer.py:139-194.

@@ -314,11 +314,14 @@ class TestAdaptiveMarch:
         r._window_bucket = min(_WINDOW_BUCKETS)
         r._retune_window_bucket(cand=100 * 64, num_rays=64)  # 100/ray observed
         assert r._window_bucket >= 128  # jumped up immediately
-        # shrink is one ladder step at a time
+        # shrink is debounced: one low observation does nothing, two
+        # consecutive jump DIRECTLY to the wanted bucket (each bucket value
+        # is a recompile, so step-by-step descents are avoided)
         before = r._window_bucket
         r._retune_window_bucket(cand=2 * 64, num_rays=64)
-        idx = _WINDOW_BUCKETS.index(before)
-        assert r._window_bucket == _WINDOW_BUCKETS[idx - 1]
+        assert r._window_bucket == before
+        r._retune_window_bucket(cand=2 * 64, num_rays=64)
+        assert r._window_bucket == min(_WINDOW_BUCKETS)
 
     def test_composite_survives_infinite_sigma(self):
         """A transient sigma=inf sample (exp overflow in the unclamped
