@@ -56,21 +56,34 @@ def bench_train(work: Path, scene: Path, data_cfg: Path):
         "--intervals.test", "0",
         "--intervals.ckpt", "0",
         "--update_thres", "64",
-        # NOTE: do NOT cap max_samples_per_ray below the demand the scene
-        # develops.  A binding cap truncates exactly the samples whose
+        # A cap that CANNOT bind: max_samples_per_ray == max_steps (1024), so
+        # demand can never exceed it (the marcher caps kept samples per ray at
+        # max_steps).  A binding cap truncates exactly the samples whose
         # gradients would suppress low-density fog, which then compounds
         # (measured: occupancy 5% -> 18%, demand 30 -> 178 samples/ray,
         # training diverged at ~1.2k iters under a 64 cap).  The reference
         # sizes its buffer dynamically with NO cap (raymarching.py:233-236).
+        "--max_samples_per_ray", "1024",
+        # Active free-space suppression (the reference's own lever,
+        # /root/reference/config.py:419-426 + trainers/base.py:285-290):
+        # keeps the few-view synthetic scene out of the fog-runaway regime
+        # the round-2 driver bench hit (demand 782/ray).  8192 samples/iter
+        # (not the 50k default): the regularizer is statistical, and the
+        # extra fwd+bwd encode at 50k pts pushed the bucket-256 step compile
+        # over the 15.75G HBM ceiling (measured OOM, 20.35G).
+        "--sparsity_lambda", "0.001",
+        "--sparsity_samples", "8192",
     ] + os.environ.get("NERFSTYLE_BENCH_EXTRA_ARGS", "").split()
     trainer = Trainer(cfg, nargs, assume_yes=True)
     num_rays = trainer.train_cfg.num_rays_per_batch
 
     # Warmup must cover every graph the timed loop hits: the train step per
-    # budget bucket AND the first random occupancy update, which fires at
-    # local_step == update_thres (64) — a cold compile there lands minutes of
-    # remote-compiler time inside the timed region.
-    warmup = int(os.environ.get("NERFSTYLE_BENCH_WARMUP", "72"))
+    # budget bucket (the descent 256 -> 96 -> 48 settles by ~iter 80-100 with
+    # the below-current debounce), the first random occupancy update at
+    # local_step == update_thres (64), and the post-descent steady-state
+    # step — a cold compile in the timed region lands minutes of remote-
+    # compiler time there.
+    warmup = int(os.environ.get("NERFSTYLE_BENCH_WARMUP", "120"))
     iters = int(os.environ.get("NERFSTYLE_BENCH_ITERS", "100"))
 
     for _ in range(warmup):
@@ -186,6 +199,11 @@ def bench_render(work: Path, data_cfg: Path, ckpt: Path, out_w=1008, out_h=756):
         rgb_hidden_dims=net_cfg.rgb_hidden_dims,
         rgb_hidden_layers=net_cfg.rgb_hidden_layers,
     )
+    from nerfstyle_tpu.models.fields import with_dedup
+
+    field_spec = with_dedup(
+        field_spec, render_cfg.max_steps, np.asarray(train_set.bbox.size)
+    )
     params = field_init(jax.random.PRNGKey(0), field_spec)
     params = ckpt_lib.restore_tree(params, groups["params"])
 
@@ -203,6 +221,7 @@ def bench_render(work: Path, data_cfg: Path, ckpt: Path, out_w=1008, out_h=756):
         density_thresh=render_cfg.density_thresh,
         density_decay=render_cfg.density_decay,
         max_samples_per_ray=render_cfg.max_samples_per_ray,
+        max_budget_samples=render_cfg.max_budget_samples,
         infer_bucket=int(os.environ.get("NERFSTYLE_INFER_BUCKET", "512")),
     )
     renderer = Renderer(
@@ -252,8 +271,13 @@ def main():
     # NERFSTYLE_BENCH_RES=HxW overrides for smoke runs on CPU.
     res = os.environ.get("NERFSTYLE_BENCH_RES", "378x504")
     h, w = (int(v) for v in res.split("x"))
-    scene = work / f"scene_{h}x{w}"
-    generate_scene(scene, num_train=12, num_test=3, h=h, w=w)
+    # 30 train views = LLFF-scale coverage (the PSNR-stable regime from the
+    # round-2 long runs; 12 views overfits into few-view fog, which is what
+    # blew up the round-2 driver bench).  Scene dir is versioned by view
+    # count so cached 12-view scenes are never silently reused.
+    views = int(os.environ.get("NERFSTYLE_BENCH_VIEWS", "30"))
+    scene = work / f"scene_{h}x{w}_v{views}"
+    generate_scene(scene, num_train=views, num_test=3, h=h, w=w)
     data_cfg = work / "data.yaml"
     data_cfg.write_text(f"root_path: {scene}\ntype: Synthetic\nbound: 2.0\nscale: 1.0\n")
 
@@ -263,6 +287,12 @@ def main():
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 3),
+        # Self-description: regime parameters so round-over-round numbers
+        # are comparable without reading the script.
+        "train_views": views,
+        "train_warmup_iters": int(os.environ.get("NERFSTYLE_BENCH_WARMUP", "120")),
+        "train_timed_iters": int(os.environ.get("NERFSTYLE_BENCH_ITERS", "100")),
+        "scene_res": f"{h}x{w}",
     }
 
     if not os.environ.get("NERFSTYLE_BENCH_SKIP_STYLE"):
@@ -272,6 +302,14 @@ def main():
             result["style_iters"] = style_iters
             result["style_measurement"] = how
             result["style_vs_target"] = round(STYLE_TARGET_S / style_s, 3)
+            # Record whether the VGG ran with pretrained or random filters —
+            # the style-loss-parity BASELINE row is only falsifiable under
+            # pretrained weights (models/vgg.py fallback).
+            from nerfstyle_tpu.models.vgg import _find_weights
+
+            result["style_weights"] = (
+                "pretrained" if _find_weights("vgg16") is not None else "random"
+            )
         except Exception as e:  # keep the primary metric alive
             result["style_error"] = str(e)[:200]
 

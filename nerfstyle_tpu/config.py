@@ -444,6 +444,10 @@ class RendererConfig(Config):
     max_samples_per_ray: int = 256
     """TPU compaction budget cap: largest per-ray average sample capacity."""
 
+    max_budget_samples: int = 1_048_576
+    """TPU HBM ceiling on total compacted samples per batch (the train-step
+    backward temps scale with num_rays * bucket; ~1M samples ~ 15G on v5e)."""
+
     default_path = "cfgs/renderer/default.yaml"
 
 

@@ -29,9 +29,17 @@ from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.types import BBox
-from ..ops.hashgrid import HashGridSpec, hashgrid_encode, hashgrid_init, hashgrid_spec
+from ..ops.hashgrid import (
+    DedupPlan,
+    HashGridSpec,
+    dedup_plan,
+    hashgrid_encode,
+    hashgrid_init,
+    hashgrid_spec,
+)
 from ..ops.mlp import mlp_apply, mlp_init, trunc_exp
 from ..ops.sh import sh_encode
 
@@ -52,10 +60,29 @@ class FieldSpec:
     rgb_hidden_dims: int = 64
     rgb_hidden_layers: int = 2
     kind: str = "style"  # "style" (StyleTCNerf) | "base" (TCNerf)
+    # Ray-coherent corner dedup for marched sample streams (ops/hashgrid.py
+    # DedupPlan); None disables.  Attach via with_dedup().
+    dedup: Optional[DedupPlan] = None
 
     @property
     def out_channels(self) -> int:
         return 3 + self.class_dim if self.kind == "style" else 3
+
+
+def with_dedup(spec: FieldSpec, max_steps: int, scene_size) -> FieldSpec:
+    """Attach a corner-dedup plan derived from the march step and scene size.
+
+    ``max_steps`` is the renderer's samples-per-ray cap (the constant lattice
+    step is dt = 2*sqrt(3)/max_steps, ops/marching.py); ``scene_size`` the
+    per-axis world bbox size (host floats).  Dedup changes no numerics — the
+    encoder output is bitwise-identical (tested) — only the gather volume.
+    """
+    import dataclasses
+    import math
+
+    dt = 2.0 * math.sqrt(3.0) / max_steps
+    plan = dedup_plan(spec.grid, dt, np.asarray(scene_size, np.float64))
+    return dataclasses.replace(spec, dedup=plan)
 
 
 def make_grid_spec(
@@ -158,13 +185,20 @@ def field_density(
     bbox: BBox,
     pts: jnp.ndarray,
     compute_dtype=jnp.float32,
+    use_dedup: bool = True,
 ) -> jnp.ndarray:
-    """Density-only forward: [M, 3] -> [M] sigmas (style_nerf.py:120-127)."""
+    """Density-only forward: [M, 3] -> [M] sigmas (style_nerf.py:120-127).
+
+    ``use_dedup=False`` opts out of corner dedup for point streams with no
+    spatial coherence (e.g. uniform-random sparsity samples), where the
+    run-start cap would chronically overflow into the cond fallback.
+    """
     x = _encoder_input(bbox, pts)
     emb_key = "x_density_embedder" if spec.kind == "style" else "x_embedder"
     h = hashgrid_encode(
         spec.grid, params[emb_key], x,
         bwd_pack=compute_dtype == jnp.bfloat16,
+        dedup=spec.dedup if use_dedup else None,
     )
     out = mlp_apply(params["density_net"], h, compute_dtype=compute_dtype)
     return trunc_exp(out[:, 0])
@@ -190,7 +224,7 @@ def field_apply(
         if dirs is None:
             h_density = hashgrid_encode(
                 spec.grid, params["x_density_embedder"], x,
-                bwd_pack=compute_dtype == jnp.bfloat16,
+                bwd_pack=compute_dtype == jnp.bfloat16, dedup=spec.dedup,
             )
             sigma_out = mlp_apply(params["density_net"], h_density, compute_dtype=compute_dtype)
             return trunc_exp(sigma_out[:, 0])
@@ -207,6 +241,7 @@ def field_apply(
         c = spec.grid.level_dim
         h = hashgrid_encode(
             spec.grid, fused, x, bwd_pack=compute_dtype == jnp.bfloat16,
+            dedup=spec.dedup,
         )  # [B, L*2C]
         h3 = h.reshape(x.shape[0], spec.grid.num_levels, 2 * c)
         h_density = h3[..., :c].reshape(x.shape[0], spec.grid.output_dim)
@@ -233,7 +268,7 @@ def field_apply(
     # TCNerf (tcnn_nerf.py:126-139)
     h = hashgrid_encode(
         spec.grid, params["x_embedder"], x,
-        bwd_pack=compute_dtype == jnp.bfloat16,
+        bwd_pack=compute_dtype == jnp.bfloat16, dedup=spec.dedup,
     )
     density_out = mlp_apply(params["density_net"], h, compute_dtype=compute_dtype)
     sigmas = trunc_exp(density_out[:, 0])

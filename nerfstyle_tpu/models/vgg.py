@@ -62,11 +62,69 @@ def _init_params(blocks: Sequence[Sequence[int]], seed: int = 7) -> List[Tuple]:
     return params
 
 
-def load_torch_weights(path: Union[str, Path], blocks, layers) -> List[Tuple]:
+def load_manifest(kind: str) -> Dict[str, object]:
+    """The committed weight manifest: required array keys, shapes, dtypes,
+    and (when stamped by tools/export_vgg_weights.py on a weight-bearing
+    machine) per-array SHA256 of the raw float bytes."""
+    import json
+
+    with open(Path(__file__).parent / "vgg_manifest.json") as f:
+        return json.load(f)[kind]
+
+
+def validate_weights(
+    kind: str, raw: Dict[str, np.ndarray], layers=None, sidecar=None
+) -> None:
+    """Validate loaded arrays against the manifest (keys, shapes, dtypes, and
+    SHA256 checksums when stamped).  ``layers`` restricts validation to the
+    listed torchvision indices (truncated extractors load partial files);
+    ``sidecar`` is an optional ``<weights>.manifest.json`` written by
+    tools/export_vgg_weights.py carrying per-array checksums.
+
+    Raises ValueError with a precise message on any mismatch — a silently
+    wrong weight file would produce plausible-looking but non-VGG features,
+    which is exactly the failure the stylization-parity BASELINE row cannot
+    tolerate (ref loads torchvision directly, networks/fx.py:29-63).
+    """
+    import hashlib
+    import json
+
+    man = load_manifest(kind)["arrays"]
+    stamped = {}
+    if sidecar is not None and Path(sidecar).exists():
+        with open(sidecar) as f:
+            stamped = json.load(f).get("sha256", {})
+    want = set(man)
+    if layers is not None:
+        idxs = {i for block in layers for i in block}
+        want = {k for k in want if int(k.split(".")[1]) in idxs}
+    missing = sorted(want - set(raw))
+    if missing:
+        raise ValueError(f"{kind} weight file is missing arrays: {missing[:4]}")
+    for key in sorted(want):
+        arr = np.asarray(raw[key])
+        spec = man[key]
+        if list(arr.shape) != list(spec["shape"]) or str(arr.dtype) != spec["dtype"]:
+            raise ValueError(
+                f"{kind} weight {key}: got {list(arr.shape)}/{arr.dtype}, "
+                f"manifest says {spec['shape']}/{spec['dtype']}"
+            )
+        sha = stamped.get(key) or spec.get("sha256")
+        if sha:
+            got = hashlib.sha256(np.ascontiguousarray(arr).tobytes()).hexdigest()
+            if got != sha:
+                raise ValueError(f"{kind} weight {key}: SHA256 mismatch")
+
+
+def load_torch_weights(path: Union[str, Path], blocks, layers, kind=None) -> List[Tuple]:
     """Convert torchvision VGG weights to HWIO conv params.
 
     Accepts a ``.pth`` torchvision state dict (loaded via torch-cpu) or an
     ``.npz`` with arrays named ``features.N.weight`` / ``features.N.bias``.
+    When ``kind`` is given, arrays are validated against the committed
+    manifest (vgg_manifest.json) before use; a sidecar
+    ``<path>.manifest.json`` written by tools/export_vgg_weights.py adds
+    per-array SHA256 verification.
     """
     path = Path(path)
     if path.suffix == ".npz":
@@ -76,6 +134,11 @@ def load_torch_weights(path: Union[str, Path], blocks, layers) -> List[Tuple]:
 
         sd = torch.load(path, map_location="cpu", weights_only=True)
         raw = {k: v.numpy() for k, v in sd.items()}
+
+    if kind is not None:
+        validate_weights(
+            kind, raw, layers=layers, sidecar=Path(str(path) + ".manifest.json")
+        )
 
     params = []
     for block in layers:

@@ -37,7 +37,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -385,6 +385,258 @@ def _flat_corners(spec: HashGridSpec, c: int, style: int, x):
     return rows, w, oob
 
 
+# ---------------------------------------------------------------------------
+# Ray-coherent corner dedup
+#
+# The encoder's cost is random table ROWS gathered per sample (~12.4 ns/row
+# measured on v5e regardless of row width): naively 8 corners x L levels =
+# 8L rows/sample.  But marched sample streams are ray-major and t-ordered, so
+# at COARSE levels consecutive samples usually lie in the SAME grid cell
+# (cells span dozens of dt steps) and their 8 corner rows are identical.
+#
+# The dedup path detects cell-change boundaries ("runs") per level with pure
+# int compares, gathers the 8 corner rows ONLY at run starts (compacted into
+# a static-cap buffer), and gives every sample its run's corner block back
+# with ONE wide-row gather per (sample, level) — 8/runlen + 1 rows per sample
+# per dedup level instead of 8.  The result is BITWISE-identical to the naive
+# forward: reuse requires only "same integer base corner at this level", which
+# the run flags test exactly (no reliance on ray ids or hash injectivity).
+#
+# The static cap is an estimate; if a batch's true run-start count exceeds it
+# (pathological streams: dense-occupancy transients, heavy gaps), a
+# ``lax.cond`` falls back to the naive path — slower, never wrong.  The CUDA
+# reference has no analog (its L2 serves random 16 B reads at ~1-2 ns, so it
+# just gathers all 8L rows; gridencoder.cu:84-235).
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class DedupPlan:
+    """Static corner-dedup geometry.
+
+    ``groups`` partitions a contiguous level PREFIX (0..k-1) into equal-size
+    groups of consecutive levels (pairs by default).  Levels in a group share
+    one run structure (a run breaks when ANY member level's cell changes) and
+    one fill row — measured on v5e, a fill-gather row costs ~18 ns REGARDLESS
+    of width (16-64 f32), so a [group_size*8*C]-wide fill row amortizes the
+    dominant per-sample fill cost over the whole group, while run-start
+    gathers stay proportional to the group's (union) cell-change rate.
+
+    ``cap_fracs`` are per-group union new-cell-fraction estimates used to
+    size the static run-start buffer (margin applied on top).
+    """
+
+    groups: Tuple[Tuple[int, ...], ...]
+    cap_fracs: Tuple[float, ...]
+    margin: float = 1.5
+
+    def __post_init__(self):
+        sizes = {len(g) for g in self.groups}
+        assert len(sizes) == 1, "dedup groups must be uniform-size"
+        flat = tuple(l for g in self.groups for l in g)
+        assert flat == tuple(range(len(flat))), "groups must cover a level prefix"
+
+    @property
+    def levels(self) -> Tuple[int, ...]:
+        return tuple(l for g in self.groups for l in g)
+
+    @property
+    def group_size(self) -> int:
+        return len(self.groups[0])
+
+    def cap(self, batch: int) -> int:
+        raw = int(batch * sum(self.cap_fracs) * self.margin) + 8 * len(self.groups) + 8
+        raw = -(-raw // 256) * 256
+        return min(raw, len(self.groups) * batch)
+
+
+def _plan_from_fracs(nf: "list[float]", max_newfrac: float, margin: float):
+    """Pair consecutive qualifying levels into groups (see DedupPlan).
+
+    A level qualifies while its estimated new-cell fraction stays below
+    ``max_newfrac`` (beyond it, run-start gathers at the group's union rate
+    cost more than the naive 8 rows).  An odd trailing level stays naive —
+    a half-empty fill row would pay full fill cost for one level.
+    """
+    k = 0
+    while k < len(nf) and nf[k] < max_newfrac:
+        k += 1
+    k -= k % 2  # pairs only
+    if k == 0:
+        return None
+    groups = tuple((2 * g, 2 * g + 1) for g in range(k // 2))
+    fracs = tuple(min(1.0, nf[a] + nf[b]) for a, b in groups)
+    return DedupPlan(groups=groups, cap_fracs=fracs, margin=margin)
+
+
+def dedup_plan(
+    spec: HashGridSpec,
+    dt_world: float,
+    scene_size,
+    *,
+    max_newfrac: float = 0.6,
+    margin: float = 1.5,
+) -> Optional[DedupPlan]:
+    """Plan corner dedup for marched sample streams.
+
+    Args:
+        spec: grid geometry.
+        dt_world: world-space step between consecutive lattice samples
+            (MarchPlan.dt).
+        scene_size: per-axis world size of the scene bbox (host floats) —
+            the encoder sees bbox-normalized coords squeezed by the
+            reference's extra (x+1)/2 (models/fields.py), so one world unit
+            is 1/(2*size_a) encoder units on axis a.
+        max_newfrac: dedup a level only while its estimated new-cell
+            fraction stays below this.
+        margin: run-start capacity headroom over the estimate.
+
+    Returns a DedupPlan, or None when no level qualifies.
+    """
+    size = np.asarray(scene_size, np.float64).reshape(-1)
+    # expected |dir| component ~ 0.577 for unit vectors; crossings add per axis
+    rate_unit = float(dt_world * 0.577 * np.sum(1.0 / (2.0 * size)))
+    nf = [min(1.0, res * rate_unit) for res in spec.resolutions]
+    return _plan_from_fracs(nf, max_newfrac, margin)
+
+
+def dedup_plan_for_grid_probes(
+    spec: HashGridSpec,
+    grid_size: int,
+    *,
+    max_newfrac: float = 0.6,
+    margin: float = 1.8,
+) -> Optional[DedupPlan]:
+    """Dedup plan for occupancy-sweep probe streams.
+
+    Probes are one-per-occupancy-cell in linear (minor-axis-fastest) order
+    (ops/occupancy.py), jittered within their cell, so at hash level R the
+    new-cell fraction is ~R/H plus jitter hopping at boundaries (margin
+    covers it; the cond fallback covers the rest).
+    """
+    nf = [min(1.0, res / grid_size) for res in spec.resolutions]
+    return _plan_from_fracs(nf, max_newfrac, margin)
+
+
+def _dedup_structure(spec: HashGridSpec, plan: DedupPlan, x):
+    """Run-boundary structure shared by the dedup forward and backward.
+
+    Returns (fill_slot [G*B] i32, starts [cap] i32 positions into the
+    group-major domain, ok scalar bool).  The group-major domain orders
+    positions as p = g * B + b so each group's runs are contiguous; a run
+    breaks when ANY member level's cell changes (exact reuse condition),
+    and the first position of every group segment is forced a run start.
+    """
+    ng = len(plan.groups)
+    b = x.shape[0]
+    dom = ng * b
+    cap = plan.cap(b)
+
+    dl = plan.levels
+    scale = jnp.asarray(np.array([spec.resolutions[l] for l in dl], np.float32))
+    resm1 = scale - 1.0
+    changed = jnp.zeros((b, len(dl)), bool)
+    for d in range(3):
+        # identical quantization law to _flat_corners (same fp32 ops)
+        pos = x[:, d : d + 1] * scale[None]
+        pg = jnp.clip(jnp.floor(pos), 0.0, resm1[None]).astype(jnp.int32)
+        changed = changed | jnp.concatenate(
+            [jnp.ones((1, len(dl)), bool), pg[1:] != pg[:-1]], axis=0
+        )
+    # group flag = OR over member levels
+    flags_gm = jnp.concatenate(
+        [
+            jnp.any(jnp.stack([changed[:, l] for l in grp], axis=1), axis=1)
+            for grp in plan.groups
+        ]
+    )  # [G*B]
+    fill_slot = jnp.cumsum(flags_gm.astype(jnp.int32)) - 1
+    n_rs = fill_slot[-1] + 1
+    starts = jnp.flatnonzero(flags_gm, size=cap, fill_value=dom)
+    return fill_slot, starts, n_rs <= cap
+
+
+def _dedup_streams(plan: DedupPlan, arr):
+    """Group-major [G*B] streams of ``arr``'s (level, corner) columns.
+
+    Returns a list of ``group_size * 8`` streams: stream j holds, for every
+    group-major position (g, b), column ``(groups[g][j // 8]) * 8 + (j % 8)``
+    of ``arr`` — i.e. corner j%8 of the group's (j//8)-th member level.
+    """
+    s = plan.group_size
+    out = []
+    for j in range(s * 8):
+        member, cnr = j // 8, j % 8
+        out.append(
+            jnp.concatenate([arr[:, grp[member] * 8 + cnr] for grp in plan.groups])
+        )
+    return out
+
+
+def _encode_flat_dedup(spec: HashGridSpec, style: int, plan: DedupPlan, embeddings, x):
+    """Dedup'd forward; identical gathers and weights to :func:`_encode_flat`
+    (equal up to XLA's FMA reassociation; tested).
+
+    Falls back to the naive gather via ``lax.cond`` when the batch's run-start
+    count exceeds the static cap (rare; slower, never wrong).
+    """
+    b = x.shape[0]
+    c = embeddings.shape[1]
+    l = spec.num_levels
+    ld = len(plan.levels)
+    s = plan.group_size
+    ng = len(plan.groups)
+    fl_n = l - ld  # contiguous fine suffix
+    dom = ng * b
+    cap = plan.cap(b)
+
+    rows, w, oob = _flat_corners(spec, c, style, x)  # [B, 8L], level-major cols
+    fill_slot, starts, ok = _dedup_structure(spec, plan, x)
+
+    def dedup_branch(emb):
+        rows_gm = _dedup_streams(plan, rows)
+        w_gm = _dedup_streams(plan, w)
+        p_safe = jnp.minimum(starts, dom - 1)
+        compact = jnp.concatenate(
+            [jnp.take(emb, jnp.take(r, p_safe), axis=0) for r in rows_gm], axis=1
+        )  # [cap, S*8*C]
+        filled = jnp.take(compact, fill_slot, axis=0)  # [G*B, S*8*C]
+        # per member level: trilerp reduction over its 8 corner blocks
+        accs = []
+        for member in range(s):
+            acc = None
+            for cnr in range(8):
+                j = member * 8 + cnr
+                term = filled[:, j * c : (j + 1) * c] * w_gm[j][:, None]
+                acc = term if acc is None else acc + term
+            accs.append(acc)  # [G*B, C]
+        # assemble level-major output columns: level grp[g][m] block = accs[m][gB:(g+1)B]
+        out_d = jnp.concatenate(
+            [accs[m][g * b : (g + 1) * b] for g in range(ng) for m in range(s)],
+            axis=1,
+        )  # [B, Ld*C]
+        if not fl_n:
+            return out_d
+        rows_f, w_f = rows[:, 8 * ld :], w[:, 8 * ld :]  # contiguous fine block
+        out_f = None
+        for cnr in range(8):
+            idx_c = rows_f[:, cnr::8].reshape(-1)  # [B*Lf] ordered (b, l)
+            term = jnp.take(emb, idx_c, axis=0) * w_f[:, cnr::8].reshape(-1)[:, None]
+            out_f = term if out_f is None else out_f + term
+        return jnp.concatenate([out_d, out_f.reshape(b, fl_n * c)], axis=1)
+
+    def naive_branch(emb):
+        out = None
+        for cnr in range(8):
+            idx_c = rows[:, cnr::8].reshape(-1)
+            term = jnp.take(emb, idx_c, axis=0) * w[:, cnr::8].reshape(-1)[:, None]
+            out = term if out is None else out + term
+        return out.reshape(b, l * c)
+
+    out = jax.lax.cond(ok, dedup_branch, naive_branch, embeddings)
+    return jnp.where(oob[:, None], 0.0, out)
+
+
 def _encode_flat(spec: HashGridSpec, style: int, embeddings, x):
     """All-hashed-levels forward via 8 per-corner row gathers -> [B, L*C].
 
@@ -416,6 +668,7 @@ def hashgrid_encode(
     style: int = 0,
     fast_vjp: bool = True,
     bwd_pack: bool = False,
+    dedup: Optional[DedupPlan] = None,
 ) -> jnp.ndarray:
     """Encode points through all levels.
 
@@ -441,6 +694,9 @@ def hashgrid_encode(
             accumulation — precision comparable to the reference's fp16
             atomicAdd scatter (gridencoder.cu:313-326).  Enabled by the
             models layer under bf16 (AMP) compute.
+        dedup: optional ray-coherent corner-dedup plan (see
+            :func:`dedup_plan`) — bitwise-identical outputs, fewer gathered
+            rows on coarse levels for ray-marched (t-ordered) sample streams.
 
     Returns:
         [B, num_levels * C] features, level-major like the reference
@@ -450,11 +706,15 @@ def hashgrid_encode(
     if fast_vjp:
         import os
 
-        # Debug switch: force exact fp32 sort payloads regardless of AMP
-        # (used to bisect precision-sensitive training behavior).
+        # Debug switches: force exact fp32 sort payloads regardless of AMP
+        # (bisecting precision-sensitive behavior) / disable corner dedup.
         if os.environ.get("NERFSTYLE_NO_BWD_PACK"):
             bwd_pack = False
-        return _encode_fast(spec, style, bwd_pack and c % 2 == 0, embeddings, x)
+        if os.environ.get("NERFSTYLE_NO_DEDUP"):
+            dedup = None
+        if dedup is not None and not dedup.levels:
+            dedup = None
+        return _encode_fast(spec, style, bwd_pack and c % 2 == 0, dedup, embeddings, x)
     flat_idx, weights, oob = corner_indices_weights(spec, x, style)
     return _encode_from_indices(
         embeddings, flat_idx, weights, oob, x.shape[0], spec.num_levels * c
@@ -500,9 +760,14 @@ def _unpack_bf16_pair(ab: jnp.ndarray):
     return hi.astype(jnp.float32), lo.astype(jnp.float32)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _encode_fast(spec: HashGridSpec, style: int, bwd_pack: bool, embeddings, x):
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _encode_fast(
+    spec: HashGridSpec, style: int, bwd_pack: bool, dedup: Optional[DedupPlan],
+    embeddings, x,
+):
     if _all_levels_hashed(spec, style):
+        if dedup is not None:
+            return _encode_flat_dedup(spec, style, dedup, embeddings, x)
         return _encode_flat(spec, style, embeddings, x)
     flat_idx, weights, oob = corner_indices_weights(spec, x, style)
     return _encode_from_indices(
@@ -510,12 +775,12 @@ def _encode_fast(spec: HashGridSpec, style: int, bwd_pack: bool, embeddings, x):
     )
 
 
-def _encode_fast_fwd(spec, style, bwd_pack, embeddings, x):
-    out = _encode_fast(spec, style, bwd_pack, embeddings, x)
+def _encode_fast_fwd(spec, style, bwd_pack, dedup, embeddings, x):
+    out = _encode_fast(spec, style, bwd_pack, dedup, embeddings, x)
     return out, (jnp.zeros((0,), embeddings.dtype), x)
 
 
-def _encode_fast_bwd(spec, style, bwd_pack, res, g):
+def _encode_fast_bwd(spec, style, bwd_pack, dedup, res, g):
     (emb_proto, x) = res
     emb_dtype = emb_proto.dtype
     b = x.shape[0]
@@ -525,24 +790,116 @@ def _encode_fast_bwd(spec, style, bwd_pack, res, g):
 
     if _all_levels_hashed(spec, style):
         rows, w, oob = _flat_corners(spec, c, style, x)  # [B, 8L] cols (l, corner)
+        g3 = jnp.where(oob[:, None, None], 0.0, g.reshape(b, l, c))
+        if dedup is not None:
+            d_emb = _dedup_bwd(spec, style, bwd_pack, dedup, x, rows, w, g3)
+            return d_emb.astype(emb_dtype), jnp.zeros_like(x)
         per_corner_rows = [rows[:, cnr::8].reshape(-1) for cnr in range(8)]
         per_corner_w = [w[:, cnr::8].reshape(-1) for cnr in range(8)]
     else:
         flat_idx, weights, oob = corner_indices_weights(spec, x, style)  # [B, L, 8]
+        g3 = jnp.where(oob[:, None, None], 0.0, g.reshape(b, l, c))
         per_corner_rows = [flat_idx[:, :, cnr].reshape(-1) for cnr in range(8)]
         per_corner_w = [weights[:, :, cnr].reshape(-1) for cnr in range(8)]
-    k = b * 8 * l
 
     # Per-ROW contribution stream, k ordered (corner, b, l): pure 1-D
     # concatenations — no transposes, no rank-3, no sub-128 minor dims.
     rows_k = jnp.concatenate(per_corner_rows)
     w_k = jnp.concatenate(per_corner_w)
-    g3 = jnp.where(oob[:, None, None], 0.0, g.reshape(b, l, c))
     vals = []
     for j in range(c):
         gj = jnp.tile(g3[..., j].reshape(-1), 8)  # [(corner, b, l)]
         vals.append((w_k * gj).astype(jnp.float32))
+    d_emb = _sort_scatter(rows_k, vals, t, bwd_pack and c % 2 == 0)
+    return d_emb.astype(emb_dtype), jnp.zeros_like(x)
 
+
+def _dedup_bwd(spec, style, bwd_pack, dedup, x, rows, w, g3):
+    """Table cotangent with the dedup-reduced contribution stream.
+
+    Dedup-level cotangents are segment-summed over runs (contiguous by
+    construction: cumsum + diff at run ends) so each run contributes ONE
+    weighted row per corner to the sort pipeline instead of runlen rows.
+    Falls back to the naive stream via ``lax.cond`` on cap overflow, exactly
+    mirroring the forward's branch (same predicate, recomputed).
+    """
+    b = x.shape[0]
+    l = spec.num_levels
+    c = g3.shape[-1]
+    t = spec.total_params
+    ld = len(dedup.levels)
+    s = dedup.group_size
+    ng = len(dedup.groups)
+    fl_n = l - ld
+    dom = ng * b
+    cap = dedup.cap(b)
+    pack = bwd_pack and c % 2 == 0
+
+    fill_slot, starts, ok = _dedup_structure(spec, dedup, x)
+
+    def dedup_branch(g3):
+        rows_gm = _dedup_streams(dedup, rows)
+        w_gm = _dedup_streams(dedup, w)
+        # weighted cotangent per (position, member-corner, channel): [G*B, S*8*C]
+        g_members = [
+            jnp.concatenate([g3[:, grp[m], :] for grp in dedup.groups], axis=0)
+            for m in range(s)
+        ]  # each [G*B, C]
+        g_filled = jnp.concatenate(
+            [
+                g_members[j // 8] * w_gm[j][:, None]
+                for j in range(s * 8)
+            ],
+            axis=1,
+        )
+        cums = jnp.cumsum(g_filled.astype(jnp.float32), axis=0)
+        ends = jnp.clip(
+            jnp.concatenate([starts[1:], jnp.full((1,), dom, starts.dtype)]) - 1,
+            0, dom - 1,
+        )
+        c_end = jnp.take(cums, ends, axis=0)  # [cap, S*8*C]
+        g_compact = c_end - jnp.concatenate(
+            [jnp.zeros((1, s * 8 * c), jnp.float32), c_end[:-1]], axis=0
+        )
+        p_safe = jnp.minimum(starts, dom - 1)
+        stream_rows = [jnp.take(r, p_safe) for r in rows_gm]  # S*8 x [cap]
+        stream_vals = [
+            [g_compact[:, j * c + ch] for j in range(s * 8)] for ch in range(c)
+        ]
+        # fine-suffix levels: naive per-corner streams
+        if fl_n:
+            rows_f, w_f = rows[:, 8 * ld :], w[:, 8 * ld :]
+            g_f = [g3[:, ld:, ch].reshape(-1) for ch in range(c)]  # [B*Lf] (b, l)
+            for cnr in range(8):
+                stream_rows.append(rows_f[:, cnr::8].reshape(-1))
+                w_c = w_f[:, cnr::8].reshape(-1)
+                for ch in range(c):
+                    stream_vals[ch].append((w_c * g_f[ch]).astype(jnp.float32))
+        rows_k = jnp.concatenate(stream_rows)
+        vals = [jnp.concatenate(v) for v in stream_vals]
+        return _sort_scatter(rows_k, vals, t, pack)
+
+    def naive_branch(g3):
+        rows_k = jnp.concatenate([rows[:, cnr::8].reshape(-1) for cnr in range(8)])
+        w_k = jnp.concatenate([w[:, cnr::8].reshape(-1) for cnr in range(8)])
+        vals = []
+        for j in range(c):
+            gj = jnp.tile(g3[..., j].reshape(-1), 8)
+            vals.append((w_k * gj).astype(jnp.float32))
+        return _sort_scatter(rows_k, vals, t, pack)
+
+    return jax.lax.cond(ok, dedup_branch, naive_branch, g3)
+
+
+def _sort_scatter(rows_k, vals, t, bwd_pack):
+    """Contribution stream -> dense [T, C] table gradient.
+
+    The shared tail of the custom backward: sort by table row, collapse runs
+    with cumsum differences, compact run ends with a second sort, scatter
+    unique rows (see the pipeline note above).
+    """
+    k = rows_k.shape[0]
+    c = len(vals)
     # 1. one sort of the row stream, channels riding along — packed as bf16
     #    pairs when allowed (1 + C/2 operands instead of 1 + C; the exact
     #    fp32 accumulation below is unchanged, only per-contribution values
@@ -584,7 +941,6 @@ def _encode_fast_bwd(spec, style, bwd_pack, res, g):
     # strictly ordered by their original position per key (one end per key),
     # so after the slice, ends of distinct rows appear in row order and the
     # exclusive-prefix diff below is exact.
-    totals = []
     d_flat = []
     for j, ec in enumerate(sorted2[1:]):
         ec = ec[:unique_cap]
@@ -597,8 +953,7 @@ def _encode_fast_bwd(spec, style, bwd_pack, res, g):
                 tot, mode="drop", unique_indices=True, indices_are_sorted=True
             )
         )
-    d_emb = jnp.stack(d_flat, axis=-1)
-    return d_emb.astype(emb_dtype), jnp.zeros_like(x)
+    return jnp.stack(d_flat, axis=-1)
 
 
 _encode_fast.defvjp(_encode_fast_fwd, _encode_fast_bwd)

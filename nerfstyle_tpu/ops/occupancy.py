@@ -257,6 +257,15 @@ def occupancy_update_random(
 
         idx = jnp.concatenate([unif_idx, occ_idx])
         coords = jnp.concatenate([unif_coords, occ_coords])
+        # Sort probes into linear cell order: the scatter-max below is
+        # order-invariant and the jitter is iid, so this changes nothing
+        # distributionally — but it gives the probe stream the same spatial
+        # coherence as the full sweep, which the encoder's corner dedup
+        # exploits (ops/hashgrid.py dedup_plan_for_grid_probes).
+        idx, c0, c1, c2 = jax.lax.sort(
+            (idx, coords[:, 0], coords[:, 1], coords[:, 2]), num_keys=1
+        )
+        coords = jnp.stack([c0, c1, c2], axis=-1)
         pts = cells_to_cascade_points(coords, cas, grid_size, bound, k_jit)
         ck = min(chunk, 2 * num)
         while (2 * num) % ck != 0:

@@ -64,6 +64,13 @@ class RenderSettings:
     # TPU-specific: per-ray average sample capacity of the largest compaction
     # bucket; caps worst-case memory (see budget_for).
     max_samples_per_ray: int = 256
+    # TPU-specific: hard ceiling on TOTAL compacted samples per batch (the
+    # train step's backward sort-stream temps scale with budget = num_rays *
+    # bucket; ~1M samples ~ 15G HLO temp at 16 levels on v5e).  Binds only
+    # during the early all-occupied transient — the reference's mean_count-
+    # sized buffer drops overflow in exactly that phase (raymarching.py:
+    # 233-236) — and is warned about if it still binds after warmup.
+    max_budget_samples: int = 1_048_576
     # TPU-specific: empty-space-skipping while_loop marcher (exact lattice
     # semantics; see ops/marching.py). False = dense [N, T] lattice sweep.
     adaptive_march: bool = True
@@ -82,8 +89,11 @@ def cascade_for_bound(bound: float) -> int:
 # ~25% instead of ~50% — encoder/sort work scales with the budget (round-2
 # phase profile: the bench ran at bucket 64 while mean samples/ray was 36).
 # Recompile count stays bounded by the debounced direct-jump policy
-# (_debounced_jump below).
-_BUDGET_BUCKETS = (4, 8, 16, 24, 32, 48, 64, 96, 128, 192, 256)
+# (_debounced_jump below).  The ladder extends to max_steps (1024) so a
+# pathological demand regime never silently truncates — it just gets slow
+# (and the renderer warns); truncation under a binding cap is a measured
+# divergence mode (fog runaway, PERFORMANCE.md "Long-run stability fixes").
+_BUDGET_BUCKETS = (4, 8, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512, 768, 1024)
 
 # Candidate-window capacity ladder (windows per ray) for the two-stage march;
 # tuned from SampleBatch.num_cand the same way the sample budget tracks
@@ -94,23 +104,22 @@ _WINDOW_BUCKETS = (16, 32, 48, 64, 96, 128, 192, 256, 384, 512)
 
 def _debounced_jump(current: int, want: int, streak: dict) -> int:
     """Bucket update policy: GROW immediately (correctness: a too-small
-    capacity truncates), SHRINK by jumping DIRECTLY to the wanted value once
-    it has been wanted for 2 consecutive retunes.
+    capacity truncates), SHRINK by jumping DIRECTLY to the latest wanted
+    value once the want has been BELOW current for 2 consecutive retunes.
 
     Every bucket value is a separate XLA compilation of its dependent jitted
     fns (the capacity is a static shape and MUST key their caches), so the
     one-ladder-step-per-update descent of an earlier revision caused a
-    recompile at EVERY rung; the debounced direct jump bounds a descent to
-    ~1 recompile while still ignoring single-batch dips."""
+    recompile at EVERY rung.  Debouncing on "below current" (not "same want
+    twice") matters on monotone demand declines — early training prunes
+    occupancy so fast that each retune wants a DIFFERENT smaller bucket, and
+    an equal-want rule never fires (measured: bucket stuck at 256 for 60+
+    iters at 3.5 s/step while demand fell 139 -> 76 -> 40 per ray)."""
     if want > current:
         streak.clear()
         return want
     if want < current:
-        if streak.get("want") == want:
-            streak["n"] = streak.get("n", 1) + 1
-        else:
-            streak.clear()
-            streak["want"], streak["n"] = want, 1
+        streak["n"] = streak.get("n", 0) + 1
         if streak["n"] >= 2:
             streak.clear()
             return want
@@ -463,12 +472,13 @@ class Renderer:
         # Samples/ray bucket with hysteresis: every bucket value is a separate
         # XLA compilation of the train step (minutes each on the remote TPU
         # compiler), so the bucket must NOT track the mean_count EMA tick by
-        # tick.  It shrinks at most one ladder step per occupancy update and
-        # grows directly to the needed bucket on overflow — bounding total
-        # recompiles per run to ~len(_BUDGET_BUCKETS).
-        self._budget_bucket = min(
-            settings.max_samples_per_ray, max(_BUDGET_BUCKETS)
-        )
+        # tick.  Policy (_debounced_jump): GROW immediately to the needed
+        # bucket on overflow, SHRINK by a debounced direct jump once the same
+        # smaller bucket has been wanted twice — bounding recompiles per run
+        # to a handful.  Initial bucket is 256 (not the ladder max): growth
+        # under real demand is immediate, and a 1024/ray first compile would
+        # pay minutes + GBs before the first mean_count exists.
+        self._budget_bucket = min(settings.max_samples_per_ray, 256)
         # Candidate-window capacity (windows/ray) of the two-stage march;
         # starts at the ladder max (~the full window domain: safe, slower)
         # and shrinks with hysteresis as observed candidate counts allow.
@@ -490,6 +500,20 @@ class Renderer:
         key_ = ("occ_update", kind, id(self.mesh))
         if key_ not in self._render_jit_cache:
             spec, bbox, dtype = self.field_spec, self.bbox, self.compute_dtype
+            # Probe streams are cell-ordered, not ray-marched: give them a
+            # dedup plan matched to their own coherence geometry (R/H new-cell
+            # fractions) instead of the marching plan.
+            if spec.dedup is not None:
+                import dataclasses
+
+                from ..ops.hashgrid import dedup_plan_for_grid_probes
+
+                spec = dataclasses.replace(
+                    spec,
+                    dedup=dedup_plan_for_grid_probes(
+                        spec.grid, self.settings.grid_size
+                    ),
+                )
             kwargs = dict(
                 bound=self.bound,
                 density_scale=self.settings.density_scale,
@@ -535,6 +559,15 @@ class Renderer:
         self._mean_count_host = int(self.occ_state.mean_count)
         self._retune_bucket()
 
+    def _effective_cap(self, num_rays: int) -> int:
+        """Per-ray bucket cap: the configured truncation bound, additionally
+        bounded by the HBM budget ceiling for this batch size."""
+        mem_cap = max(
+            min(_BUDGET_BUCKETS),
+            self.settings.max_budget_samples // max(1, num_rays),
+        )
+        return min(self.settings.max_samples_per_ray, mem_cap)
+
     def _retune_bucket(self) -> None:
         if self._mean_count_host <= 0:
             return
@@ -542,19 +575,29 @@ class Renderer:
         # buffer at mean_count exactly and drops overflow,
         # raymarching.py:233-236 — 1.25x is strictly more generous).
         per_ray = self._mean_count_host * 1.25 / max(1, self._last_num_rays)
-        if per_ray > self.settings.max_samples_per_ray:
-            # A binding cap truncates exactly the samples whose gradients
-            # would suppress spurious density, which then compounds
+        cap = self._effective_cap(self._last_num_rays)
+        if (
+            per_ray > cap
+            and self._local_step_host > self.settings.update_thres
+        ):
+            # A PERSISTENTLY binding cap truncates exactly the samples whose
+            # gradients would suppress spurious density, which then compounds
             # (measured: fog runaway + divergence under a 64 cap at 178
-            # samples/ray demand).  The reference's buffer is uncapped.
+            # samples/ray demand).  The reference's buffer is uncapped in
+            # steady state.  During the early all-occupied transient
+            # (local_step <= update_thres) truncation is reference-parity
+            # behavior and not warned about.
             import warnings
 
             warnings.warn(
-                f"sample demand ({per_ray:.0f}/ray) exceeds "
-                f"max_samples_per_ray={self.settings.max_samples_per_ray}; "
-                "training will truncate — raise the cap", stacklevel=2,
+                f"steady-state sample demand ({per_ray:.0f}/ray) exceeds the "
+                f"effective cap {cap}/ray (max_samples_per_ray="
+                f"{self.settings.max_samples_per_ray}, max_budget_samples="
+                f"{self.settings.max_budget_samples}); training will "
+                "truncate — raise the cap or fix the scene regime",
+                stacklevel=2,
             )
-        cand = bucket_for(per_ray, self.settings.max_samples_per_ray)
+        cand = bucket_for(per_ray, cap)
         self._budget_bucket = _debounced_jump(
             self._budget_bucket, cand, self._bucket_debounce
         )
@@ -612,7 +655,7 @@ class Renderer:
         self._last_num_rays = num_rays
         self._mean_count_host = int(num_points)
         self._budget_bucket = bucket_for(
-            num_points * 1.25 / num_rays, self.settings.max_samples_per_ray
+            num_points * 1.25 / num_rays, self._effective_cap(num_rays)
         )
         if num_cand is not None:
             self._retune_window_bucket(int(num_cand), num_rays)

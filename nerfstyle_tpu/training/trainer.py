@@ -49,7 +49,9 @@ from ..losses.recon import (
     sparsity_loss,
     weight_reg_loss,
 )
-from ..models.fields import field_density, field_init, make_grid_spec, style_field_spec
+from ..models.fields import (
+    field_density, field_init, make_grid_spec, style_field_spec, with_dedup,
+)
 from ..parallel.mesh import (
     build_sharded_loss_terms,
     make_mesh,
@@ -195,6 +197,13 @@ class Trainer:
             rgb_hidden_dims=self.net_cfg.rgb_hidden_dims,
             rgb_hidden_layers=self.net_cfg.rgb_hidden_layers,
         )
+        # Ray-coherent corner dedup (ops/hashgrid.py): bitwise-identical
+        # encodes, ~2x fewer gathered table rows on marched sample streams.
+        self.field_spec = with_dedup(
+            self.field_spec,
+            self.render_cfg.max_steps,
+            np.asarray(self.train_set.bbox.size),
+        )
         net_key = jax.random.PRNGKey(
             self.net_cfg.network_seed if self.net_cfg.network_seed is not None
             else self.train_cfg.rng_seed
@@ -216,6 +225,7 @@ class Trainer:
             density_decay=self.render_cfg.density_decay,
             grid_bsize=self.render_cfg.grid_bsize,
             max_samples_per_ray=self.render_cfg.max_samples_per_ray,
+            max_budget_samples=self.render_cfg.max_budget_samples,
         )
         self.renderer = Renderer(
             self.field_spec,
@@ -372,7 +382,10 @@ class Trainer:
             n_sparse = max(1, tc.sparsity_samples // n_dev) * n_dev
 
             def _density_fn(p, bb, pts):
-                return field_density(spec, p, bb, pts, compute_dtype=dtype)
+                # sparsity samples are uniform-random: no run coherence
+                return field_density(
+                    spec, p, bb, pts, compute_dtype=dtype, use_dedup=False
+                )
 
             sharded_terms = build_sharded_loss_terms(
                 mesh, spec, plan, settings.t_thresh, settings.density_scale,
@@ -444,7 +457,10 @@ class Trainer:
                 if tc.sparsity_lambda > 0.0:
                     pts = jax.random.uniform(k_sparse, (tc.sparsity_samples, 3))
                     pts = pts * bbox.size + bbox.min_pt
-                    sig = field_density(spec, params, bbox, pts, compute_dtype=dtype)
+                    sig = field_density(
+                        spec, params, bbox, pts, compute_dtype=dtype,
+                        use_dedup=False,
+                    )
                     sp = sparsity_loss(sig, tc.sparsity_exp_coeff) * tc.sparsity_lambda
                     losses["sparsity"] = sp
                     total = total + sp

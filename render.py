@@ -26,7 +26,9 @@ from nerfstyle_tpu.config import (
 )
 from nerfstyle_tpu.core.types import DatasetSplit
 from nerfstyle_tpu.data import get_dataset
-from nerfstyle_tpu.models.fields import field_init, make_grid_spec, style_field_spec
+from nerfstyle_tpu.models.fields import (
+    field_init, make_grid_spec, style_field_spec, with_dedup,
+)
 from nerfstyle_tpu.render.renderer import Renderer, RenderSettings
 from nerfstyle_tpu.training import checkpoint as ckpt_lib
 
@@ -90,6 +92,9 @@ def main() -> None:
         rgb_hidden_dims=net_cfg.rgb_hidden_dims,
         rgb_hidden_layers=net_cfg.rgb_hidden_layers,
     )
+    field_spec = with_dedup(
+        field_spec, render_cfg.max_steps, np.asarray(train_set.bbox.size)
+    )
     import jax
 
     params = field_init(jax.random.PRNGKey(0), field_spec)
@@ -113,6 +118,7 @@ def main() -> None:
         density_thresh=render_cfg.density_thresh,
         density_decay=render_cfg.density_decay,
         max_samples_per_ray=render_cfg.max_samples_per_ray,
+        max_budget_samples=render_cfg.max_budget_samples,
     )
     renderer = Renderer(
         field_spec, train_set.bbox, settings, intr, float(dataset_cfg.bound),

@@ -289,3 +289,141 @@ class TestGrad:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+def _marched_stream(n_rays=64, steps=96, seed=0, dt=2 * 3**0.5 / 1024):
+    """Ray-marched-like positions in [0,1]^3: t-ordered, ray-major."""
+    rng = np.random.default_rng(seed)
+    o = rng.uniform(0.3, 0.7, (n_rays, 3))
+    d = rng.normal(size=(n_rays, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    # random gaps emulate occupancy skipping
+    ks = np.cumsum(rng.integers(1, 4, (n_rays, steps)), axis=1)
+    pts = o[:, None, :] + d[:, None, :] * (ks[..., None] * dt)
+    return jnp.asarray(np.clip(pts.reshape(-1, 3), 0.0, 1.0), jnp.float32)
+
+
+class TestCornerDedup:
+    def _spec(self):
+        return hashgrid_spec(8, 2, 16, per_level_scale=1.5, log2_hashmap_size=12)
+
+    def _plan(self, spec, nlv=5, margin=1.6):
+        from nerfstyle_tpu.ops.hashgrid import DedupPlan
+
+        # generous fractions so the test streams exercise the DEDUP branch
+        # (asserted below), not the overflow fallback
+        nlv -= nlv % 2  # pairs
+        groups = tuple((2 * g, 2 * g + 1) for g in range(nlv // 2))
+        fracs = tuple(
+            min(1.0, (spec.resolutions[a] + spec.resolutions[b]) / 50.0)
+            for a, b in groups
+        )
+        return DedupPlan(groups=groups, cap_fracs=fracs, margin=margin)
+
+    def _assert_dedup_branch(self, spec, plan, x):
+        from nerfstyle_tpu.ops.hashgrid import _dedup_structure
+
+        _, _, ok = _dedup_structure(spec, plan, x)
+        assert bool(ok), "test stream unexpectedly overflowed the dedup cap"
+
+    def test_dedup_fwd_identical(self):
+        """Same gathers, same weights — identical up to XLA's FMA
+        reassociation inside the cond branch (~1 ulp)."""
+        spec = self._spec()
+        emb = jax.random.normal(jax.random.PRNGKey(0), (spec.total_params, 2))
+        x = _marched_stream()
+        base = np.asarray(hashgrid_encode(spec, emb, x))
+        for nlv in (2, 4, 8):
+            plan = self._plan(spec, nlv)
+            self._assert_dedup_branch(spec, plan, x)
+            out = hashgrid_encode(spec, emb, x, dedup=plan)
+            np.testing.assert_allclose(np.asarray(out), base, rtol=1e-6, atol=2e-6)
+
+    def test_dedup_fwd_fused_channels(self):
+        spec = self._spec()
+        emb = jax.random.normal(jax.random.PRNGKey(1), (spec.total_params, 4))
+        x = _marched_stream(seed=3)
+        plan = self._plan(spec)
+        self._assert_dedup_branch(spec, plan, x)
+        base = np.asarray(hashgrid_encode(spec, emb, x))
+        out = hashgrid_encode(spec, emb, x, dedup=plan)
+        np.testing.assert_allclose(np.asarray(out), base, rtol=1e-6, atol=2e-6)
+
+    def test_dedup_overflow_falls_back_exactly(self):
+        """A cap far below the true run-start count must take the cond's
+        naive branch and still produce the exact output."""
+        from nerfstyle_tpu.ops.hashgrid import DedupPlan
+
+        spec = self._spec()
+        emb = jax.random.normal(jax.random.PRNGKey(2), (spec.total_params, 2))
+        x = jax.random.uniform(jax.random.PRNGKey(3), (2048, 3))  # incoherent
+        tiny = DedupPlan(groups=((0, 1),), cap_fracs=(1e-4,), margin=1.0)
+        base = np.asarray(hashgrid_encode(spec, emb, x))
+        out = hashgrid_encode(spec, emb, x, dedup=tiny)
+        np.testing.assert_allclose(np.asarray(out), base, rtol=1e-6, atol=2e-6)
+
+    def test_dedup_oob_rows_zero(self):
+        spec = self._spec()
+        emb = jax.random.normal(jax.random.PRNGKey(4), (spec.total_params, 2))
+        x = np.array(_marched_stream(seed=5))
+        x[::7] = x[::7] + 1.5  # out of [0,1]
+        out = np.asarray(hashgrid_encode(spec, emb, jnp.asarray(x), dedup=self._plan(spec)))
+        assert (out[::7] == 0.0).all()
+
+    def test_dedup_bwd_matches_naive_fast(self):
+        spec = self._spec()
+        emb = jax.random.normal(jax.random.PRNGKey(5), (spec.total_params, 2)) * 0.01
+        x = _marched_stream(n_rays=32, steps=64, seed=7)
+        g_out = jax.random.normal(jax.random.PRNGKey(6), (x.shape[0], spec.output_dim))
+        plan = self._plan(spec)
+
+        def loss(e, dd):
+            return jnp.sum(hashgrid_encode(spec, e, x, dedup=dd) * g_out)
+
+        g_d = np.asarray(jax.grad(lambda e: loss(e, plan))(emb))
+        g_n = np.asarray(jax.grad(lambda e: loss(e, None))(emb))
+        np.testing.assert_allclose(g_d, g_n, rtol=1e-3, atol=5e-5)
+
+    def test_dedup_bwd_fused_and_autodiff(self):
+        spec = self._spec()
+        emb4 = jax.random.normal(jax.random.PRNGKey(7), (spec.total_params, 4)) * 0.01
+        x = _marched_stream(n_rays=24, steps=48, seed=9)
+        g_out = jax.random.normal(jax.random.PRNGKey(8), (x.shape[0], spec.num_levels * 4))
+        plan = self._plan(spec)
+
+        def loss(e, dd, fast=True):
+            return jnp.sum(hashgrid_encode(spec, e, x, fast_vjp=fast, dedup=dd) * g_out)
+
+        g_d = np.asarray(jax.grad(lambda e: loss(e, plan))(emb4))
+        g_auto = np.asarray(jax.grad(lambda e: loss(e, None, fast=False))(emb4))
+        np.testing.assert_allclose(g_d, g_auto, rtol=1e-3, atol=5e-5)
+
+    def test_dedup_bwd_overflow_branch(self):
+        from nerfstyle_tpu.ops.hashgrid import DedupPlan
+
+        spec = self._spec()
+        emb = jax.random.normal(jax.random.PRNGKey(9), (spec.total_params, 2)) * 0.01
+        x = jax.random.uniform(jax.random.PRNGKey(10), (1024, 3))
+        g_out = jax.random.normal(jax.random.PRNGKey(11), (1024, spec.output_dim))
+        tiny = DedupPlan(groups=((0, 1),), cap_fracs=(1e-4,), margin=1.0)
+
+        def loss(e, dd):
+            return jnp.sum(hashgrid_encode(spec, e, x, dedup=dd) * g_out)
+
+        g_d = np.asarray(jax.grad(lambda e: loss(e, tiny))(emb))
+        g_n = np.asarray(jax.grad(lambda e: loss(e, None))(emb))
+        np.testing.assert_allclose(g_d, g_n, rtol=1e-3, atol=5e-5)
+
+    def test_dedup_plan_builders(self):
+        from nerfstyle_tpu.ops.hashgrid import dedup_plan, dedup_plan_for_grid_probes
+
+        spec = hashgrid_spec(16, 2, 16, per_level_scale=1.447, log2_hashmap_size=19)
+        plan = dedup_plan(spec, dt_world=2 * 3**0.5 / 1024, scene_size=(4.0, 4.0, 4.0))
+        assert plan is not None
+        assert plan.levels == tuple(range(len(plan.levels)))  # contiguous prefix
+        assert all(f < 0.6 for f in plan.cap_fracs)
+        assert 0 < plan.cap(4096) <= len(plan.levels) * 4096
+        probe = dedup_plan_for_grid_probes(spec, 128)
+        assert probe is not None and probe.levels == tuple(range(len(probe.levels)))
+        # too-coarse scene: no level qualifies
+        assert dedup_plan(spec, dt_world=1.0, scene_size=(1.0, 1.0, 1.0)) is None

@@ -322,6 +322,16 @@ class TestAdaptiveMarch:
         assert r._window_bucket == before
         r._retune_window_bucket(cand=2 * 64, num_rays=64)
         assert r._window_bucket == min(_WINDOW_BUCKETS)
+        # monotone DECLINE must also shrink: each retune wanting a DIFFERENT
+        # smaller bucket (early-training occupancy pruning) previously never
+        # satisfied an equal-want debounce and pinned the bucket at max
+        # (measured: 60+ iters at 3.5 s/step) — now two below-current
+        # observations jump to the latest want
+        r._retune_window_bucket(cand=100 * 64, num_rays=64)
+        assert r._window_bucket >= 128
+        r._retune_window_bucket(cand=60 * 64, num_rays=64)
+        r._retune_window_bucket(cand=30 * 64, num_rays=64)
+        assert r._window_bucket == 48  # 30 * 1.25 -> 38 -> bucket 48
 
     def test_composite_survives_infinite_sigma(self):
         """A transient sigma=inf sample (exp overflow in the unclamped
