@@ -710,13 +710,16 @@ class Trainer:
                 self.opt_state = ckpt_lib.restore_tree(
                     self.opt_state, groups["opt_state"]
                 )
-            except ValueError:
+            except (ValueError, KeyError):
                 # Optimizer-state schema changed (e.g. the apply_if_finite
-                # wrapper added leaves).  A fresh optimizer beats aborting the
-                # resume: Adam moments rebuild within a few hundred steps.
+                # wrapper added leaves), or the ckpt carries no optimizer
+                # state at all (tools/import_reference_ckpt.py — torch Adam
+                # moments are not convertible).  A fresh optimizer beats
+                # aborting the resume: Adam moments rebuild within a few
+                # hundred steps.
                 self.logger.warning(
-                    "Checkpoint optimizer state does not match the current "
-                    "optimizer schema; resuming with a FRESH optimizer state."
+                    "Checkpoint optimizer state missing or mismatched; "
+                    "resuming with a FRESH optimizer state."
                 )
             self.ema_state = ckpt_lib.restore_tree(self.ema_state, groups["ema"])
 
