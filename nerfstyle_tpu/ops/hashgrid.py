@@ -43,6 +43,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .compact import compact_indices
+
 _PRIMES = (1, 2654435761, 805459861, 3674653429)  # gridencoder.cu:42 (D=3 + style)
 _MAX_STYLES = 512  # gridencoder.cu:59
 
@@ -552,7 +554,7 @@ def _dedup_structure(spec: HashGridSpec, plan: DedupPlan, x):
     )  # [G*B]
     fill_slot = jnp.cumsum(flags_gm.astype(jnp.int32)) - 1
     n_rs = fill_slot[-1] + 1
-    starts = jnp.flatnonzero(flags_gm, size=cap, fill_value=dom)
+    starts = compact_indices(flags_gm, cap, dom)
     return fill_slot, starts, n_rs <= cap
 
 

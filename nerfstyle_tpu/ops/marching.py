@@ -41,6 +41,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.types import RayBundle
+from .compact import compact_indices
 from .occupancy import cell_linear_index
 
 SQRT3 = 1.7320508075688772
@@ -251,7 +252,7 @@ def _march_two_stage(
     num_cand = jnp.sum(cand, dtype=jnp.int32)
 
     # -- stage 2: compact windows, exact occupancy on their fine points --
-    widx = jnp.flatnonzero(cand.reshape(-1), size=wb, fill_value=n * tc)
+    widx = compact_indices(cand.reshape(-1), wb, n * tc)
     wvalid = widx < n * tc
     wray = jnp.minimum(widx // tc, n - 1).astype(jnp.int32)
     wk = ((widx % tc) * s).astype(jnp.int32)  # window's first lattice index
@@ -295,7 +296,7 @@ def _march_two_stage(
     num_kept = jnp.sum(kept_f, dtype=jnp.int32)
 
     # -- final compaction over the fine domain [WB * S] --
-    fidx = jnp.flatnonzero(kept_f.reshape(-1), size=plan.budget, fill_value=wb * s)
+    fidx = compact_indices(kept_f.reshape(-1), plan.budget, wb * s)
     valid = fidx < wb * s
     w_of = jnp.minimum(fidx // s, wb - 1)
     rid = wray[w_of]
@@ -346,7 +347,7 @@ def march_rays(
 
     # Static-size compaction, ray-major order preserved.
     flat = kept.reshape(-1)
-    idx = jnp.flatnonzero(flat, size=plan.budget, fill_value=n * t_lat)
+    idx = compact_indices(flat, plan.budget, n * t_lat)
     valid = idx < n * t_lat
 
     rid = jnp.minimum(idx // t_lat, n - 1).astype(jnp.int32)

@@ -34,6 +34,7 @@ from ..core.cameras import generate_rays
 from ..core.types import BBox, Box2D, Intrinsics, RayBundle
 from ..models.fields import FieldSpec, Params, field_apply, field_density
 from ..ops.aabb import near_far_from_aabb
+from ..ops.compact import compact_indices
 from ..ops.compositing import composite_rays
 from ..ops.marching import MarchPlan, OccField, march_rays, march_rays_round
 from ..ops.occupancy import (
@@ -311,7 +312,7 @@ def make_incremental_renderer(
             def body(st):
                 i, k, trans, steps, acc_img, acc_depth, acc_ws, alive, pts = st
                 cnt = jnp.sum(alive, dtype=jnp.int32)
-                idx = jnp.flatnonzero(alive, size=b, fill_value=chunk)
+                idx = compact_indices(alive, b, chunk)
                 slot_ok = jnp.arange(b) < cnt
                 safe = jnp.minimum(idx, chunk - 1)
                 k_b, trans_b, img_b, depth_b, ws_b, alive_b, emitted_b = round_fn(

@@ -101,6 +101,10 @@ class StyleTrainer(Trainer):
         self.style_loss.init_feats(style_feats, num_classes=self.train_set.num_classes)
 
         self._pass2_cache: Dict = {}
+        # Bucket-retune fetch gating (run_iter): fetches stop for good after
+        # two consecutive no-change retunes.
+        self._retunes_active = True
+        self._stable_retunes = 0
         self._data_iter = self.train_set.iter_shuffled(seed=self.train_cfg.rng_seed)
 
     # ------------------------------------------------------------------
@@ -245,12 +249,22 @@ class StyleTrainer(Trainer):
         output = self.renderer.render(self.params, pose_dev, image_dev, training=True)
         # Retarget the compaction bucket to the style stage's own marching
         # (--max-steps 512 doubles dt vs recon, ~2-4x fewer samples/ray).
-        # Every 8th iter: the int() is a blocking device fetch, and the
-        # bucket is stable after the first frame.
-        if self.iter_ctr % 8 == 0:
+        # The int() is a BLOCKING device fetch, so retunes stop permanently
+        # once two consecutive ones leave the buckets unchanged — the style
+        # stage only ever shrinks demand (the color grid moves, density is
+        # frozen), so a stabilized bucket stays stable.
+        if self.iter_ctr % 8 == 0 and self._retunes_active:
+            before = (self.renderer._budget_bucket, self.renderer._window_bucket)
             self.renderer.retune_bucket_now(
                 int(output["num_points"]), w * h, output.get("num_cand")
             )
+            after = (self.renderer._budget_bucket, self.renderer._window_bucket)
+            self._stable_retunes = 0 if after != before else self._stable_retunes + 1
+            if self._stable_retunes >= 2:
+                self._retunes_active = False
+                self.logger.info(
+                    "Style buckets stable at %s; no further retune fetches", after
+                )
         rgb_map = output["rgb_map"]  # [HW, 3]
         target = output["target"]  # [HW, 4]
         target_chw = target[:, :3].T.reshape(3, h, w)

@@ -162,3 +162,32 @@ class TestAABB:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+class TestCompactIndices:
+    """ops/compact.py: sort-based drop-in for flatnonzero(size=, fill_value=)."""
+
+    def test_matches_flatnonzero(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from nerfstyle_tpu.ops.compact import compact_indices
+
+        rng = np.random.default_rng(0)
+        for dom, frac, size in [(64, 0.5, 32), (1000, 0.05, 200),
+                                (4096, 0.9, 512), (333, 0.0, 16), (128, 1.0, 256)]:
+            mask = jnp.asarray(rng.random(dom) < frac)
+            for fill in (dom, dom + 7):
+                want = jnp.flatnonzero(mask, size=size, fill_value=fill)
+                got = compact_indices(mask, size, fill)
+                np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_jit_and_truncation_order(self):
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from nerfstyle_tpu.ops.compact import compact_indices
+
+        mask = jnp.asarray(np.array([1, 0, 1, 1, 0, 1, 1, 1], bool))
+        out = jax.jit(lambda m: compact_indices(m, 3, 8))(mask)
+        # truncates to the FIRST `size` set positions, ascending
+        np.testing.assert_array_equal(np.asarray(out), [0, 2, 3])
