@@ -78,6 +78,13 @@ class RenderSettings:
     # TPU-specific: alive-ray compaction bucket of the incremental inference
     # loop (smaller = less dead-slot work on the long tail, more iterations).
     infer_bucket: int = 512
+    # TPU-specific: occupied lattice points marched per alive ray per
+    # while_loop iteration of the incremental renderer.  Larger rounds mean
+    # fewer, bigger field batches (better per-op efficiency) but more wasted
+    # tail evaluations after a ray saturates (T < t_thresh mid-round).
+    infer_round_size: int = 32
+    # TPU-specific: rays per jitted incremental-render call (image chunking).
+    infer_chunk: int = 8192
 
 
 def cascade_for_bound(bound: float) -> int:
@@ -714,9 +721,11 @@ class Renderer:
                                      rays.origins, rays.dirs)
 
     def render_ray_batch_incremental(
-        self, params: Params, rays: RayBundle, round_size: int = 32
+        self, params: Params, rays: RayBundle, round_size: Optional[int] = None
     ) -> Dict[str, jnp.ndarray]:
         """Inference path without budget truncation (see make_render_round)."""
+        if round_size is None:
+            round_size = self.settings.infer_round_size
         key = ("incremental", round_size, id(self.mesh))
         if key not in self._render_jit_cache:
             plan = self.make_plan(1, budget=1)  # num_rays re-bucketed inside
@@ -739,7 +748,7 @@ class Renderer:
         num_rays: Optional[int] = None,
         training: bool = False,
         key: Optional[jax.Array] = None,
-        chunk: int = 8192,
+        chunk: Optional[int] = None,
     ) -> Dict[str, jnp.ndarray]:
         """Reference Renderer.render surface (renderer.py:295-313).
 
@@ -748,6 +757,8 @@ class Renderer:
         """
         # Precrop is handled by the trainer's step cache (training/trainer.py
         # _build_train_step); this surface always renders the full window.
+        if chunk is None:
+            chunk = self.settings.infer_chunk
         rays, target = generate_rays(
             pose, self.intr, image, patch=patch,
             num_rays=num_rays, camera_flip=self.settings.flip_camera, key=key,

@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""Sweep the incremental renderer's (infer_bucket, round_size, chunk) at a
+target resolution against a trained checkpoint; print ms/frame + FPS +
+evaluated sample counts per combo (VERDICT r2 task 6).
+
+Usage:
+    python tools/sweep_render.py --ckpt <path.ckpt> --data-cfg <data.yaml> \
+        [--res 756x1008] [--frames 2]
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", type=Path, required=True)
+    ap.add_argument("--data-cfg", type=Path, required=True)
+    ap.add_argument("--res", default="756x1008", help="HxW")
+    ap.add_argument("--frames", type=int, default=2)
+    ap.add_argument("--buckets", default="512,2048,8192")
+    ap.add_argument("--rounds", default="16,32,64")
+    ap.add_argument("--chunks", default="8192,32768")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from nerfstyle_tpu.config import (
+        DatasetConfig, NetworkConfig, RendererConfig, TrainConfig, _from_dict,
+    )
+    from nerfstyle_tpu.core.types import DatasetSplit
+    from nerfstyle_tpu.data import get_dataset
+    from nerfstyle_tpu.models.fields import (
+        field_init, make_grid_spec, style_field_spec, with_dedup,
+    )
+    from nerfstyle_tpu.ops.occupancy import occupancy_persistable, occupancy_restore
+    from nerfstyle_tpu.render.renderer import Renderer, RenderSettings
+    from nerfstyle_tpu.training import checkpoint as ckpt_lib
+
+    meta, groups = ckpt_lib.load_checkpoint(args.ckpt)
+    net_cfg = _from_dict(NetworkConfig, meta["net_cfg"])
+    render_cfg = _from_dict(RendererConfig, meta["render_cfg"])
+    train_cfg = _from_dict(TrainConfig, meta["train_cfg"])
+    dataset_cfg = _from_dict(DatasetConfig, meta["dataset_cfg"])
+    dataset_cfg.root_path = None  # force from --data-cfg
+    import yaml
+
+    for k, v in yaml.safe_load(args.data_cfg.read_text()).items():
+        setattr(dataset_cfg, k, v)
+
+    train_set = get_dataset(dataset_cfg, split=DatasetSplit.TRAIN)
+    test_set = get_dataset(dataset_cfg, split=DatasetSplit.TEST, max_count=1)
+
+    h, w = (int(v) for v in args.res.split("x"))
+    intr = test_set.intr.scale(w, h)
+    print(f"render at {intr.w}x{intr.h} ({intr.w * intr.h} rays/frame)")
+
+    max_bound = float(np.max(np.asarray(train_set.bbox.size)))
+    grid_spec = make_grid_spec(
+        n_lvls=net_cfg.pos_enc.n_lvls,
+        n_feats_per_lvl=net_cfg.pos_enc.n_feats_per_lvl,
+        hashmap_size=net_cfg.pos_enc.hashmap_size,
+        min_res=net_cfg.pos_enc.min_res,
+        max_res_coeff=net_cfg.pos_enc.max_res_coeff,
+        max_bound=max_bound,
+    )
+    field_spec = style_field_spec(
+        grid_spec, class_dim=train_set.num_classes, use_dir=False,
+        sh_degree=net_cfg.dir_enc_sh_deg,
+        density_hidden_dims=net_cfg.density_hidden_dims,
+        density_hidden_layers=net_cfg.density_hidden_layers,
+        rgb_hidden_dims=net_cfg.rgb_hidden_dims,
+        rgb_hidden_layers=net_cfg.rgb_hidden_layers,
+    )
+    field_spec = with_dedup(
+        field_spec, render_cfg.max_steps, np.asarray(train_set.bbox.size)
+    )
+    params = field_init(jax.random.PRNGKey(0), field_spec)
+    params = ckpt_lib.restore_tree(params, groups["params"])
+
+    _, pose = test_set[0]
+    pose_dev = jnp.asarray(pose)
+
+    combos = [
+        (b, r, c)
+        for b in (int(x) for x in args.buckets.split(","))
+        for r in (int(x) for x in args.rounds.split(","))
+        for c in (int(x) for x in args.chunks.split(","))
+    ]
+    print(f"{'bucket':>7} {'round':>6} {'chunk':>7} {'ms/frame':>10} "
+          f"{'FPS':>7} {'Msamples':>9}")
+    results = []
+    for bucket, rnd, chunk in combos:
+        settings = RenderSettings(
+            grid_size=render_cfg.grid_size,
+            update_iter=render_cfg.update_iter,
+            min_near=render_cfg.min_near,
+            t_thresh=render_cfg.t_thresh,
+            use_ndc=render_cfg.use_ndc,
+            flip_camera=render_cfg.flip_camera,
+            max_steps=render_cfg.max_steps,
+            update_thres=render_cfg.update_thres,
+            density_scale=render_cfg.density_scale,
+            density_thresh=render_cfg.density_thresh,
+            density_decay=render_cfg.density_decay,
+            max_samples_per_ray=render_cfg.max_samples_per_ray,
+            max_budget_samples=render_cfg.max_budget_samples,
+            infer_bucket=bucket,
+            infer_round_size=rnd,
+            infer_chunk=chunk,
+        )
+        renderer = Renderer(
+            field_spec, train_set.bbox, settings, intr,
+            float(dataset_cfg.bound),
+            raymarch_channels=3 + train_set.num_classes,
+            compute_dtype=jnp.bfloat16 if train_cfg.enable_amp else jnp.float32,
+        )
+        renderer.occ_state = occupancy_restore(
+            ckpt_lib.restore_tree(
+                occupancy_persistable(renderer.occ_state), groups["occ"]),
+            settings.grid_size,
+        )
+        if "renderer_static" in meta:
+            renderer.load_state_dict_static(meta["renderer_static"])
+        try:
+            out = renderer.render(params, pose_dev, training=False)
+            npts = int(out["num_points"])  # forces the frame
+            ts = []
+            for _ in range(args.frames):
+                t0 = time.perf_counter()
+                out = renderer.render(params, pose_dev, training=False)
+                npts = int(out["num_points"])
+                ts.append(time.perf_counter() - t0)
+            ms = float(np.median(ts)) * 1e3
+            print(f"{bucket:>7} {rnd:>6} {chunk:>7} {ms:>10.0f} "
+                  f"{1e3 / ms:>7.3f} {npts / 1e6:>9.1f}", flush=True)
+            results.append((bucket, rnd, chunk, ms))
+        except Exception as e:  # OOM etc: report and continue
+            print(f"{bucket:>7} {rnd:>6} {chunk:>7}   FAILED: {str(e)[:60]}",
+                  flush=True)
+    if results:
+        b, r, c, ms = min(results, key=lambda t: t[3])
+        print(f"best: bucket={b} round={r} chunk={c} ({ms:.0f} ms, "
+              f"{1e3 / ms:.3f} FPS)")
+
+
+if __name__ == "__main__":
+    main()
