@@ -130,10 +130,18 @@ class BaseDataset(ABC):
     def iter_shuffled(self, seed: int = 0):
         """Infinite shuffled iteration (replaces DataLoader(shuffle=True) +
         utils.cycle, trainers/base.py:129)."""
+        for _i, item in self.iter_shuffled_indexed(seed):
+            yield item
+
+    def iter_shuffled_indexed(self, seed: int = 0):
+        """:meth:`iter_shuffled`, yielding ``(dataset_index, item)`` — the
+        index keys per-pose host caches (e.g. the style stage's per-window
+        marching demand, which is constant per pose while density is
+        frozen)."""
         rng = np.random.default_rng(seed)
         while True:
             for i in rng.permutation(len(self)):
-                yield self[int(i)]
+                yield int(i), self[int(i)]
 
     def __str__(self) -> str:
         split_str = ["train", "validation", "test"][self.split.value]

@@ -101,11 +101,16 @@ class StyleTrainer(Trainer):
         self.style_loss.init_feats(style_feats, num_classes=self.train_set.num_classes)
 
         self._pass2_cache: Dict = {}
+        # Per-pose host caches (valid for the whole run: density frozen).
+        self._win_counts_cache: Dict[int, np.ndarray] = {}
+        self._win_group_cache: Dict[int, list] = {}
         # Bucket-retune fetch gating (run_iter): fetches stop for good after
         # two consecutive no-change retunes.
         self._retunes_active = True
         self._stable_retunes = 0
-        self._data_iter = self.train_set.iter_shuffled(seed=self.train_cfg.rng_seed)
+        self._data_iter = self.train_set.iter_shuffled_indexed(
+            seed=self.train_cfg.rng_seed
+        )
 
     # ------------------------------------------------------------------
     # loss (style.py:74-117)
@@ -140,51 +145,112 @@ class StyleTrainer(Trainer):
         frozen = {k: v for k, v in self.params.items() if k not in trainable}
         return trainable, frozen
 
-    def _pass2_grad_fn(self):
-        """ONE jitted function for the whole deferred-backprop pass 2.
+    # ------------------------------------------------------------------
+    # pass 2: deferred backprop with PER-WINDOW budgets
+    #
+    # The reference loops ``defer_patch_size`` patches on the host with one
+    # backward launch each (style.py:189-198).  Here the frame is tiled into
+    # equal-shape windows (border windows shift inward; each pixel's
+    # cotangent is applied by exactly one owning window, so overlaps
+    # contribute zero) and windows are re-rendered under ``jax.grad`` of
+    # ``sum(rgb * pixel_grad)`` — which IS the patch VJP — in jitted
+    # ``lax.scan`` groups.
+    #
+    # TPU-first: encoder+backward work scales with the compaction budget, and
+    # per-window demand is wildly heterogeneous (object-covering vs sky
+    # windows).  Because the DENSITY grid is frozen in this stage, each
+    # pose's marching — hence each window's sample demand — is CONSTANT for
+    # the whole run, so demands are measured once per pose (march-only jit,
+    # one host fetch), windows are bucketed per-window on the budget ladder,
+    # empty windows are skipped outright, and one scan per bucket group
+    # accumulates grads on device.  A uniform budget would pay the densest
+    # window's budget for every window, every iteration.
+    # ------------------------------------------------------------------
 
-        The reference loops ``defer_patch_size`` patches on the host with one
-        backward launch each (style.py:189-198).  Here the frame is tiled
-        into equal-shape windows (border windows shift inward; each pixel's
-        cotangent is applied by exactly one owning window, so overlaps
-        contribute zero), and a single jitted ``lax.scan`` re-renders every
-        window under ``jax.grad`` of ``sum(rgb * pixel_grad)`` — which IS the
-        patch VJP — accumulating color-grid grads on device.  Per-iteration
-        dispatch count drops from #patches to 1; with a mesh, each window's
-        rays shard across devices (parallel/mesh.py).
-        """
-        key = (self.renderer._budget_bucket, self.renderer._window_bucket)
+    PASS2_MARGIN = 1.5
+
+    def _pass2_tiling(self):
+        if getattr(self, "_tiling", None) is None:
+            from ..core.cameras import camera_dir_grid
+
+            w, h = self.train_set.intr.size()
+            ps = self.train_cfg.defer_patch_size
+            pw, ph = min(ps, w), min(ps, h)
+            win_idx_np, win_own_np = _tile_windows(w, h, pw, ph)
+            cam_dirs_np, _ys, _xs = camera_dir_grid(
+                self.train_set.intr, self.settings.flip_camera
+            )
+            self._tiling = (
+                win_idx_np, win_own_np,
+                jnp.asarray(cam_dirs_np.reshape(-1, 3)), pw * ph,
+            )
+        return self._tiling
+
+    def _win_cap(self) -> int:
+        """Largest admissible per-window bucket: 1.5x the frame-mean bucket
+        (measured round 2: a 2x margin cost ~70% style wall-clock for
+        marginal gradient fidelity), clamped to the truncation cap."""
+        return min(
+            (3 * self.renderer._budget_bucket + 1) // 2,
+            self.settings.max_samples_per_ray,
+        )
+
+    def _window_counts(self, pose_idx: int, bitfield, pose) -> np.ndarray:
+        """Per-window kept-sample counts for this pose (cached; density is
+        frozen so they never change across iterations)."""
+        cached = self._win_counts_cache.get(pose_idx)
+        if cached is not None:
+            return cached
+
+        win_idx_np, _own, cam_dirs, n_pix = self._pass2_tiling()
+        key = ("wincount",)
+        if key not in self._pass2_cache:
+            import dataclasses
+
+            from ..core.types import make_rays
+            from ..ops.aabb import near_far_from_aabb
+            from ..ops.marching import march_rays
+
+            # Exact counts: full window domain (window_budget=None), tiny
+            # compaction budget (compaction outputs are unused -> DCE'd).
+            plan = dataclasses.replace(
+                self.renderer.make_plan(n_pix, budget=256), window_budget=None
+            )
+            win_idx_dev = jnp.asarray(win_idx_np)
+
+            @jax.jit
+            def f(bitfield, pose):
+                rot = pose[:3, :3]
+                origin = pose[:3, 3]
+
+                def body(_, idx):
+                    rays = make_rays(origin, cam_dirs[idx] @ rot.T)
+                    nears, fars = near_far_from_aabb(
+                        rays.origins, rays.dirs, plan.aabb, plan.min_near
+                    )
+                    sb = march_rays(plan, bitfield, rays, nears, fars)
+                    return None, sb.num_kept
+
+                _, counts = jax.lax.scan(body, None, win_idx_dev)
+                return counts
+
+            self._pass2_cache[key] = f
+        counts = np.asarray(self._pass2_cache[key](bitfield, pose))
+        self._win_counts_cache[pose_idx] = counts
+        return counts
+
+    def _pass2_scan_fn(self, per_ray: int, n_win: int):
+        """Jitted scan over ``n_win`` windows at ``per_ray`` budget/ray."""
+        key = (per_ray, n_win, self.renderer._window_bucket)
         if key in self._pass2_cache:
             return self._pass2_cache[key]
 
-        w, h = self.train_set.intr.size()
-        ps = self.train_cfg.defer_patch_size
-        pw, ph = min(ps, w), min(ps, h)
-        win_idx_np, win_own_np = _tile_windows(w, h, pw, ph)
-        n_pix = pw * ph
-
-        from ..core.cameras import camera_dir_grid
         from ..core.types import make_rays
 
-        cam_dirs_np, _ys, _xs = camera_dir_grid(
-            self.train_set.intr, self.settings.flip_camera
-        )
-        cam_dirs = jnp.asarray(cam_dirs_np.reshape(-1, 3))
-        win_idx = jnp.asarray(win_idx_np)
-        win_own = jnp.asarray(win_own_np)
-
+        _wi, _wo, cam_dirs, n_pix = self._pass2_tiling()
         spec = self.field_spec
         settings = self.settings
         bbox = self.train_set.bbox
-        # Per-window demand can exceed the FRAME-mean bucket (an
-        # object-covering window vs sky windows), so pass 2 budgets 1.5x the
-        # frame bucket per window — the window VJP should see the samples
-        # pass 1 rendered (measured: a 2x margin cost ~70% style wall-clock
-        # for marginal gradient fidelity).
-        per_ray = min(
-            (3 * self.renderer._budget_bucket + 1) // 2,
-            settings.max_samples_per_ray,
-        )
         plan = self.renderer.make_plan(n_pix, budget=n_pix * per_ray)
         dtype = self.compute_dtype
 
@@ -203,7 +269,7 @@ class StyleTrainer(Trainer):
             )
 
         @jax.jit
-        def f(trainable, frozen, bitfield, pose, grad_map_flat):
+        def f(trainable, frozen, bitfield, pose, grad_map_flat, win_idx, win_own):
             rot = pose[:3, :3]
             origin = pose[:3, 3]
 
@@ -234,13 +300,53 @@ class StyleTrainer(Trainer):
         self._pass2_cache[key] = f
         return f
 
+    def _pass2_groups(self, pose_idx: int, bitfield, pose):
+        """Windows grouped by per-window budget bucket for this pose;
+        device-resident (bucket, win_idx, win_own) triples, cached."""
+        cached = self._win_group_cache.get(pose_idx)
+        if cached is not None:
+            return cached
+
+        from ..render.renderer import bucket_for
+
+        win_idx_np, win_own_np, _cd, n_pix = self._pass2_tiling()
+        counts = self._window_counts(pose_idx, bitfield, pose)
+        cap = self._win_cap()
+        groups: Dict[int, list] = {}
+        for wid, cnt in enumerate(counts):
+            if cnt == 0:
+                continue  # empty window: exactly zero gradient
+            b = bucket_for(self.PASS2_MARGIN * float(cnt) / n_pix, cap)
+            groups.setdefault(b, []).append(wid)
+        out = [
+            (b, jnp.asarray(win_idx_np[ids]), jnp.asarray(win_own_np[ids]))
+            for b, ids in sorted(groups.items())
+        ]
+        self._win_group_cache[pose_idx] = out
+        self.logger.info(
+            "Pose %d pass-2 buckets: %s (uniform would be %d x %d/ray)",
+            pose_idx,
+            {b: wi.shape[0] for b, wi, _ in out},
+            len(counts), cap,
+        )
+        return out
+
+    def _pass2_grads(self, pose_idx, trainable, frozen, bitfield, pose, grad_map):
+        acc = jax.tree_util.tree_map(jnp.zeros_like, trainable)
+        for b, wi, wo in self._pass2_groups(pose_idx, bitfield, pose):
+            g = self._pass2_scan_fn(b, wi.shape[0])(
+                trainable, frozen, bitfield, pose, grad_map, wi, wo
+            )
+            acc = jax.tree_util.tree_map(jnp.add, acc, g)
+        return acc
+
     # ------------------------------------------------------------------
     # iteration (style.py:162-219)
     # ------------------------------------------------------------------
 
     def run_iter(self):
         self.time0 = time.time()
-        image, pose = next(self._data_iter)
+        pose_idx, (image, pose) = next(self._data_iter)
         image_dev = jnp.asarray(image)
         pose_dev = jnp.asarray(pose)
         w, h = self.train_set.intr.size()
@@ -260,6 +366,10 @@ class StyleTrainer(Trainer):
             )
             after = (self.renderer._budget_bucket, self.renderer._window_bucket)
             self._stable_retunes = 0 if after != before else self._stable_retunes + 1
+            if after != before:
+                # The per-window bucket cap derives from the frame bucket
+                # (_win_cap); regroup windows under the new cap.
+                self._win_group_cache.clear()
             if self._stable_retunes >= 2:
                 self._retunes_active = False
                 self.logger.info(
@@ -281,10 +391,11 @@ class StyleTrainer(Trainer):
             self._image_losses, has_aux=True
         )(rgb_map, target_chw, preds)
 
-        # -- pass 2: all patch VJPs in one jitted scan (style.py:189-198) --
+        # -- pass 2: patch VJPs in per-budget-bucket jitted scans
+        # (style.py:189-198) --
         trainable, frozen = self._split_params()
-        grads = self._pass2_grad_fn()(
-            trainable, frozen, self.renderer.occ_field, pose_dev,
+        grads = self._pass2_grads(
+            pose_idx, trainable, frozen, self.renderer.occ_field, pose_dev,
             pixel_grad,
         )
 

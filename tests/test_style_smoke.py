@@ -135,8 +135,8 @@ class TestStyleStage:
         w, h = st.train_set.intr.size()
         cot = jax.random.normal(jax.random.PRNGKey(9), (h * w, 3))
 
-        g_scan = st._pass2_grad_fn()(
-            trainable, frozen, st.renderer.occ_field, pose_dev, cot
+        g_scan = st._pass2_grads(
+            0, trainable, frozen, st.renderer.occ_field, pose_dev, cot
         )
 
         rays, _ = generate_rays(
