@@ -369,77 +369,3 @@ def march_rays(
         num_kept=num_kept,
         num_cand=jnp.zeros((), jnp.int32),
     )
-
-
-def march_rays_round(
-    plan: MarchPlan,
-    skipdist: jnp.ndarray,
-    rays: RayBundle,
-    nears: jnp.ndarray,
-    fars: jnp.ndarray,
-    k_start: jnp.ndarray,
-    round_size: int,
-):
-    """Emit up to ``round_size`` next occupied lattice indices per ray.
-
-    TPU-native rebuild of the reference's incremental inference marcher
-    (``march_rays``, raymarching.cu:1005-1120): instead of compacting alive
-    rays, every ray fills its own [round_size] slot row (t_lat = miss) and the
-    caller masks.  Same cross-level skip semantics as the two-stage
-    marcher's coarse pass (:func:`_march_two_stage`).
-
-    Returns (ks [N, S] i32 lattice indices (t_lat where missing),
-    k_next [N] resume position, emitted [N] count).
-    """
-    n, t_lat, dt = plan.num_rays, plan.t_lattice, plan.dt
-    h = plan.grid_size
-    h3 = h * h * h
-    s = round_size
-    cell_sizes = [2.0 * min(2.0**lv, plan.bound) / h for lv in range(plan.cascade)]
-
-    def cond(state):
-        _, _, _, done = state
-        return ~jnp.all(done)
-
-    def body(state):
-        k, ks, emitted, done = state
-        t = nears + k.astype(jnp.float32) * dt
-        alive = ~done
-        xyz = rays.origins + rays.dirs * t[:, None]
-        xyz = jnp.clip(xyz, -plan.bound, plan.bound)
-
-        mx = jnp.max(jnp.abs(xyz), axis=-1)
-        _, e = jnp.frexp(mx)
-        level = jnp.clip(jnp.maximum(e, plan.mip_dt_level), 0, plan.cascade - 1)
-
-        d_world = jnp.full((n,), jnp.inf, jnp.float32)
-        d_sel = jnp.zeros((n,), jnp.int32)
-        for lv in range(plan.cascade):
-            mip_bound = min(2.0**lv, plan.bound)
-            coords = (0.5 * (xyz / mip_bound + 1.0) * h).astype(jnp.int32)
-            coords = jnp.clip(coords, 0, h - 1)
-            d_lv = skipdist[lv * h3 + cell_linear_index(coords, h)].astype(jnp.int32)
-            d_world = jnp.minimum(
-                d_world, (d_lv - 1).astype(jnp.float32) * cell_sizes[lv]
-            )
-            d_sel = jnp.where(level == lv, d_lv, d_sel)
-
-        occ = (d_sel == 0) & alive & (t < fars)
-        ks = ks.at[
-            jnp.arange(n) * s + jnp.minimum(emitted, s - 1)
-        ].min(jnp.where(occ, k, t_lat))
-        emitted = emitted + occ.astype(jnp.int32)
-        adv = jnp.maximum(1, jnp.floor(d_world / dt).astype(jnp.int32))
-        k = jnp.where(done, k, k + adv)
-        t_next = nears + k.astype(jnp.float32) * dt
-        done = done | (t_next >= fars) | (k >= t_lat) | (emitted >= s)
-        return k, ks, emitted, done
-
-    k0 = k_start.astype(jnp.int32)
-    ks0 = jnp.full((n * s,), t_lat, jnp.int32)
-    emitted0 = jnp.zeros((n,), jnp.int32)
-    done0 = (nears + k0.astype(jnp.float32) * dt) >= fars
-    k_next, ks, emitted, _ = jax.lax.while_loop(
-        cond, body, (k0, ks0, emitted0, done0)
-    )
-    return ks.reshape(n, s), k_next, emitted

@@ -36,7 +36,7 @@ from ..models.fields import FieldSpec, Params, field_apply, field_density
 from ..ops.aabb import near_far_from_aabb
 from ..ops.compact import compact_indices
 from ..ops.compositing import composite_rays
-from ..ops.marching import MarchPlan, OccField, march_rays, march_rays_round
+from ..ops.marching import MarchPlan, OccField, march_rays
 from ..ops.occupancy import (
     OccupancyState,
     occupancy_init,
@@ -189,70 +189,6 @@ def render_rays(
     }
 
 
-def make_render_round(
-    field_spec: FieldSpec,
-    plan: MarchPlan,
-    t_thresh: float,
-    density_scale: float,
-    compute_dtype=jnp.float32,
-    round_size: int = 32,
-):
-    """Jitted one-round incremental renderer (TPU rebuild of the reference's
-    alive-ray inference loop, renderer.py:237-293 + raymarching.cu:1005-1239).
-
-    Unlike the budgeted training path, inference must never truncate a ray's
-    samples (the CUDA loop retires rays only on T < thresh).  Each round
-    marches every ray up to ``round_size`` further occupied lattice points,
-    evaluates the field on the [N, S] slots, and folds them into carried
-    (T, image, depth, weights) accumulators; the caller loops rounds until no
-    ray is alive.  Field evaluations total exactly the samples the reference
-    evaluates — no budget bias, early termination exploited.
-    """
-    dt, t_lat = plan.dt, plan.t_lattice
-    n, s = plan.num_rays, round_size
-
-    def round_fn(params, skipdist, bbox, origins, dirs, nears, fars,
-                 k_start, trans_in, acc_img, acc_depth, acc_ws):
-        rays = RayBundle(origins, dirs)
-        ks, k_next, emitted = march_rays_round(
-            plan, skipdist, rays, nears, fars, k_start, s
-        )
-        t = nears[:, None] + ks.astype(jnp.float32) * dt  # [N, S]
-        valid = ks < t_lat
-        xyz = origins[:, None, :] + dirs[:, None, :] * t[..., None]
-        xyz = jnp.clip(xyz, -plan.bound, plan.bound)
-        dirs_rep = jnp.broadcast_to(dirs[:, None, :], (n, s, 3))
-
-        rgbs, sigmas = field_apply(
-            field_spec, params, bbox, xyz.reshape(-1, 3), dirs_rep.reshape(-1, 3),
-            compute_dtype=compute_dtype,
-        )
-        c = rgbs.shape[-1]
-        # sdt capped at 100 for the same inf - inf NaN guard as
-        # ops/compositing.py (numerically identical: alpha==1, T==0 there).
-        sdt = jnp.where(
-            valid,
-            jnp.minimum(sigmas.reshape(n, s) * density_scale * dt, 100.0),
-            0.0,
-        )
-        alpha = 1.0 - jnp.exp(-sdt)
-        excl = jnp.cumsum(sdt, axis=1) - sdt
-        trans = trans_in[:, None] * jnp.exp(-excl)  # T entering each sample
-        included = trans >= t_thresh  # early stop (raymarching.cu:1218-1227)
-        w = alpha * trans * included.astype(sdt.dtype)
-
-        acc_img = acc_img + jnp.sum(w[..., None] * rgbs.reshape(n, s, c), axis=1)
-        tau = t + dt - nears[:, None]
-        acc_depth = acc_depth + jnp.sum(w * tau, axis=1)
-        acc_ws = acc_ws + jnp.sum(w, axis=1)
-        trans_out = trans_in * jnp.exp(-jnp.sum(sdt, axis=1))
-        # A ray stays alive iff it still transmits AND its span continues.
-        alive = (trans_out >= t_thresh) & (emitted >= s)
-        return k_next, trans_out, acc_img, acc_depth, acc_ws, alive, emitted
-
-    return round_fn
-
-
 def make_incremental_renderer(
     field_spec: FieldSpec,
     base_plan: MarchPlan,
@@ -260,33 +196,47 @@ def make_incremental_renderer(
     density_scale: float,
     compute_dtype=jnp.float32,
     round_size: int = 32,
-    bucket: int = 2048,
+    bucket: int = 8192,
+    samples_per_ray: Optional[int] = None,
+    windows_per_ray: Optional[int] = None,
     mesh=None,
 ):
-    """Incremental inference renderer with ON-DEVICE alive-ray compaction.
+    """Incremental inference renderer: ONE vectorized march per chunk, then
+    an early-termination loop over the PRECOMPACTED samples.
 
-    The reference inference loop shrinks work to n_alive rays every round
-    (renderer.py:266-293).  The TPU rebuild runs the ENTIRE alive-ray loop as
-    one jitted ``lax.while_loop`` with ZERO host synchronization: each
-    iteration compacts up to ``bucket`` alive rays (static-size flatnonzero),
-    marches them ``round_size`` occupied lattice points, evaluates the field,
-    folds the deltas back, and retires rays on T < thresh / span end /
-    max_steps.  Rays beyond the bucket simply wait for a later iteration —
-    total work is unchanged, shapes stay static, and the loop condition
-    (``any(alive)``) is evaluated on device.
+    The reference inference loop (renderer.py:266-293 + raymarching.cu:
+    1005-1239) interleaves marching and evaluation per round.  A round-2
+    rebuild reproduced that literally — each loop iteration ran a serialized
+    per-ray lattice WALK (a nested while_loop stepping cells until
+    round_size occupied points emitted).  Measured at 1008x756 that walk,
+    not field evaluation, bounded the frame (e.g. bucket 8192 x round 64:
+    54.7 s/frame while only 10.8 M samples were evaluated — the serialized
+    walk iterations dwarfed the ~9 s of encode work).
 
-    (Round-1's variant fetched the alive count to the host every round to
-    pick a shrinking bucket; over the remote TPU tunnel those per-round
-    round-trips dominated render wall-clock.)
+    The fix is TPU-native: occupancy is STATIC at render time, so the
+    chunk's entire sample stream is produced up front by the same
+    vectorized two-stage skip-distance march the training path uses
+    (ray-major, compacted), and the alive-ray loop then just SLICES each
+    selected ray's next ``round_size`` samples from the precomputed batch —
+    every iteration is row gathers + field_apply + compositing, nothing
+    serialized.  Early termination (T < t_thresh, raymarching.cu:1218-1227)
+    is preserved exactly: trailing samples of saturated rays are never
+    evaluated.
+
+    ``samples_per_ray`` sizes the chunk march budget and ``windows_per_ray``
+    the candidate-window capacity (None = exact max_steps / full domain).
+    Both can truncate when undersized — the outputs ``num_marched`` /
+    ``num_cand`` report exact demand so the caller can grow and re-render
+    (Renderer.render_ray_batch_incremental does, with a bucket ladder).
 
     When a ``mesh`` is supplied and the chunk divides the device count, the
-    whole per-chunk loop runs under ``shard_map`` — each device owns a ray
-    shard and iterates its own alive set independently (no collectives except
-    one psum of num_points).  The reference has no multi-device render at all
+    whole per-chunk pipeline runs under ``shard_map`` — each device marches
+    and iterates its own ray shard independently (no collectives except one
+    psum of the counters).  The reference has no multi-device render at all
     (SURVEY.md section 2.3).
 
-    Returns ``render(params, skipdist, bbox, rays, channels) -> outputs``
-    where every output (including ``num_points``) stays on device.
+    Returns ``render(params, occ_field, bbox, rays, channels) -> outputs``
+    where every per-pixel output stays on device.
     """
     import dataclasses
 
@@ -295,81 +245,98 @@ def make_incremental_renderer(
     def body_for(chunk: int, channels: int):
         """Unjitted per-device chunk renderer for ``chunk`` rays."""
         b = min(bucket, chunk)
-        plan_b = dataclasses.replace(base_plan, num_rays=b, budget=1)
-        round_fn = make_render_round(
-            field_spec, plan_b, t_thresh, density_scale, compute_dtype,
-            round_size,
+        s = round_size
+        dt = base_plan.dt
+        spr = samples_per_ray if samples_per_ray else base_plan.max_steps
+        spr = min(spr, base_plan.max_steps)
+        budget = chunk * spr
+        wb = chunk * windows_per_ray if windows_per_ray else None
+        plan_c = dataclasses.replace(
+            base_plan, num_rays=chunk, budget=budget, window_budget=wb
         )
-        # Hard termination bound: each iteration a selected ray either dies
-        # or consumes round_size of its max_steps sample allowance; at most
-        # ceil(chunk / b) rays-groups interleave.
-        per_ray_rounds = -(-base_plan.max_steps // round_size)
-        max_iters = per_ray_rounds * (-(-chunk // b))
+        # Termination bound: each iteration every selected alive ray either
+        # consumes >= 1 precomputed sample or dies; at most ceil(chunk / b)
+        # ray groups interleave.
+        max_iters = (-(-spr // s) + 1) * (-(-chunk // b))
 
-        def render_chunk(params, skipdist, bbox, origins, dirs):
+        def render_chunk(params, occ, bbox, origins, dirs):
+            rays = RayBundle(origins, dirs)
             nears, fars = near_far_from_aabb(
-                origins, dirs, base_plan.aabb, base_plan.min_near
+                origins, dirs, plan_c.aabb, plan_c.min_near
             )
+            sb = march_rays(plan_c, occ, rays, nears, fars)
+            # Per-ray segment table over the ray-major compacted stream.
+            counts = jnp.zeros((chunk,), jnp.int32).at[sb.ray_id].add(
+                sb.valid.astype(jnp.int32), mode="drop"
+            )
+            starts = jnp.cumsum(counts) - counts
 
             def cond(st):
-                i = st[0]
-                alive = st[7]
-                return (i < max_iters) & jnp.any(alive)
+                i, _c, _tr, _img, _d, _ws, done, _p = st
+                return (i < max_iters) & ~jnp.all(done)
 
             def body(st):
-                i, k, trans, steps, acc_img, acc_depth, acc_ws, alive, pts = st
-                cnt = jnp.sum(alive, dtype=jnp.int32)
-                idx = compact_indices(alive, b, chunk)
-                slot_ok = jnp.arange(b) < cnt
-                safe = jnp.minimum(idx, chunk - 1)
-                k_b, trans_b, img_b, depth_b, ws_b, alive_b, emitted_b = round_fn(
-                    params, skipdist, bbox,
-                    origins[safe], dirs[safe], nears[safe], fars[safe],
-                    k[safe], trans[safe],
-                    jnp.zeros((b, channels), jnp.float32),
-                    jnp.zeros((b,), jnp.float32),
-                    jnp.zeros((b,), jnp.float32),
+                i, c, trans, acc_img, acc_depth, acc_ws, done, pts = st
+                idx = compact_indices(~done, b, chunk)  # [b], fill = chunk
+                sel_ok = idx < chunk
+                r = jnp.minimum(idx, chunk - 1)
+                c_r = c[r]
+                cnt_r = counts[r]
+                offs = jnp.arange(s, dtype=jnp.int32)[None, :]
+                pos = starts[r][:, None] + c_r[:, None] + offs  # [b, s]
+                in_seg = ((c_r[:, None] + offs) < cnt_r[:, None]) & sel_ok[:, None]
+                pclip = jnp.minimum(pos, budget - 1).reshape(-1)
+
+                xyz = jnp.take(sb.xyz, pclip, axis=0)  # [b*s, 3] row gathers
+                tau = jnp.take(sb.tau, pclip).reshape(b, s)
+                dirs_r = dirs[r]
+                dirs_rep = jnp.broadcast_to(dirs_r[:, None, :], (b, s, 3))
+                rgbs, sigmas = field_apply(
+                    field_spec, params, bbox, xyz, dirs_rep.reshape(-1, 3),
+                    compute_dtype=compute_dtype,
                 )
-                # Per-ray total-sample cap (the reference's step budget,
-                # renderer.py:266-285).
-                steps_b = steps[safe] + emitted_b
-                alive_b = alive_b & (steps_b < base_plan.max_steps)
+                cC = rgbs.shape[-1]
+                # sdt capped at 100 for the same inf - inf NaN guard as
+                # ops/compositing.py (identical: alpha==1, T==0 there).
+                sdt = jnp.where(
+                    in_seg,
+                    jnp.minimum(sigmas.reshape(b, s) * density_scale * dt, 100.0),
+                    0.0,
+                )
+                alpha = 1.0 - jnp.exp(-sdt)
+                excl = jnp.cumsum(sdt, axis=1) - sdt
+                trans_row = trans[r][:, None] * jnp.exp(-excl)
+                included = trans_row >= t_thresh  # raymarching.cu:1218-1227
+                w = alpha * trans_row * included.astype(sdt.dtype)
 
                 acc_img = acc_img.at[idx].add(
-                    jnp.where(slot_ok[:, None], img_b, 0.0), mode="drop"
+                    jnp.sum(w[..., None] * rgbs.reshape(b, s, cC), axis=1),
+                    mode="drop",
                 )
                 acc_depth = acc_depth.at[idx].add(
-                    jnp.where(slot_ok, depth_b, 0.0), mode="drop"
+                    jnp.sum(w * tau, axis=1), mode="drop"
                 )
-                acc_ws = acc_ws.at[idx].add(
-                    jnp.where(slot_ok, ws_b, 0.0), mode="drop"
-                )
-                k = k.at[idx].set(jnp.where(slot_ok, k_b, k[safe]), mode="drop")
-                trans = trans.at[idx].set(
-                    jnp.where(slot_ok, trans_b, trans[safe]), mode="drop"
-                )
-                steps = steps.at[idx].set(
-                    jnp.where(slot_ok, steps_b, steps[safe]), mode="drop"
-                )
-                alive = alive.at[idx].set(
-                    jnp.where(slot_ok, alive_b, alive[safe]), mode="drop"
-                )
-                pts = pts + jnp.sum(jnp.where(slot_ok, emitted_b, 0))
-                return (i + 1, k, trans, steps, acc_img, acc_depth, acc_ws,
-                        alive, pts)
+                acc_ws = acc_ws.at[idx].add(jnp.sum(w, axis=1), mode="drop")
+                trans_out = trans[r] * jnp.exp(-jnp.sum(sdt, axis=1))
+                adv = jnp.sum(in_seg, axis=1, dtype=jnp.int32)
+                dead = (trans_out < t_thresh) | (c_r + adv >= cnt_r)
+                c = c.at[idx].add(adv, mode="drop")
+                trans = trans.at[idx].set(trans_out, mode="drop")
+                done = done.at[idx].set(dead, mode="drop")
+                pts = pts + jnp.sum(adv)
+                return (i + 1, c, trans, acc_img, acc_depth, acc_ws, done, pts)
 
             init = (
                 jnp.int32(0),
                 jnp.zeros((chunk,), jnp.int32),
                 jnp.ones((chunk,), jnp.float32),
-                jnp.zeros((chunk,), jnp.int32),
                 jnp.zeros((chunk, channels), jnp.float32),
                 jnp.zeros((chunk,), jnp.float32),
                 jnp.zeros((chunk,), jnp.float32),
-                nears < fars,
+                counts == 0,
                 jnp.int32(0),
             )
-            (_, _, _, _, acc_img, acc_depth, acc_ws, _, pts) = (
+            (_, _, _, acc_img, acc_depth, acc_ws, _, pts) = (
                 jax.lax.while_loop(cond, body, init)
             )
 
@@ -384,6 +351,9 @@ def make_incremental_renderer(
                 "classes": acc_img[:, 3:],
                 "weights_sum": acc_ws,
                 "num_points": pts,
+                # Exact demand counters for the caller's grow-and-retry.
+                "num_marched": sb.num_kept,
+                "num_cand": sb.num_cand,
             }
 
         return render_chunk
@@ -400,9 +370,10 @@ def make_incremental_renderer(
 
             local = body_for(chunk // n_dev, channels)
 
-            def per_device(params, skipdist, bbox, origins, dirs):
-                out = local(params, skipdist, bbox, origins, dirs)
-                out["num_points"] = jax.lax.psum(out["num_points"], "data")
+            def per_device(params, occ, bbox, origins, dirs):
+                out = local(params, occ, bbox, origins, dirs)
+                for k in ("num_points", "num_marched", "num_cand"):
+                    out[k] = jax.lax.psum(out[k], "data")
                 return out
 
             fn = shard_map(
@@ -415,6 +386,8 @@ def make_incremental_renderer(
                     "classes": P("data"),
                     "weights_sum": P("data"),
                     "num_points": P(),
+                    "num_marched": P(),
+                    "num_cand": P(),
                 },
                 check_vma=False,
             )
@@ -423,10 +396,10 @@ def make_incremental_renderer(
             jit_cache[key] = jax.jit(body_for(chunk, channels))
         return jit_cache[key]
 
-    def render(params, skipdist, bbox, rays: RayBundle, channels: int):
+    def render(params, occ, bbox, rays: RayBundle, channels: int):
         n = rays.origins.shape[0]
         return chunk_fn_for(n, channels)(
-            params, skipdist, bbox, rays.origins, rays.dirs
+            params, occ, bbox, rays.origins, rays.dirs
         )
 
     return render
@@ -487,6 +460,13 @@ class Renderer:
         # under real demand is immediate, and a 1024/ray first compile would
         # pay minutes + GBs before the first mean_count exists.
         self._budget_bucket = min(settings.max_samples_per_ray, 256)
+        # Inference march buckets (samples/ray and windows/ray of the
+        # per-chunk precompacted march): seeded modestly, grown on observed
+        # overflow by render_ray_batch_incremental (demand counters are
+        # exact, so a grow is never missed).  load_state_dict_static reseeds
+        # the sample bucket from the recon-tuned one riding the checkpoint.
+        self._infer_spr_bucket = min(64, settings.max_steps)
+        self._infer_win_bucket = 32
         # Candidate-window capacity (windows/ray) of the two-stage march;
         # starts at the ladder max (~the full window domain: safe, slower)
         # and shrinks with hysteresis as observed candidate counts allow.
@@ -723,21 +703,61 @@ class Renderer:
     def render_ray_batch_incremental(
         self, params: Params, rays: RayBundle, round_size: Optional[int] = None
     ) -> Dict[str, jnp.ndarray]:
-        """Inference path without budget truncation (see make_render_round)."""
+        """Inference path without truncation (see make_incremental_renderer).
+
+        The chunk's march buffers are bucket-sized (samples/ray and
+        windows/ray ladders, seeded from the recon-tuned buckets riding the
+        checkpoint); the renderer returns exact demand counters, and an
+        undersized bucket triggers ONE grow-and-re-render (subsequent chunks
+        reuse the grown bucket, so steady state pays zero retries and one
+        demand fetch per chunk)."""
         if round_size is None:
             round_size = self.settings.infer_round_size
-        key = ("incremental", round_size, id(self.mesh))
-        if key not in self._render_jit_cache:
-            plan = self.make_plan(1, budget=1)  # num_rays re-bucketed inside
-            self._render_jit_cache[key] = make_incremental_renderer(
-                self.field_spec, plan, self.settings.t_thresh,
-                self.settings.density_scale, self.compute_dtype, round_size,
-                bucket=self.settings.infer_bucket, mesh=self.mesh,
+        n = len(rays)
+        while True:
+            spr = self._infer_spr_bucket
+            wpr = self._infer_win_bucket
+            key = ("incremental", round_size, spr, wpr, id(self.mesh))
+            if key not in self._render_jit_cache:
+                plan = self.make_plan(1, budget=1)  # re-chunked inside
+                self._render_jit_cache[key] = make_incremental_renderer(
+                    self.field_spec, plan, self.settings.t_thresh,
+                    self.settings.density_scale, self.compute_dtype,
+                    round_size, bucket=self.settings.infer_bucket,
+                    samples_per_ray=spr, windows_per_ray=wpr, mesh=self.mesh,
+                )
+            out = self._render_jit_cache[key](
+                params, self.occ_field, self.bbox, rays,
+                self.raymarch_channels,
             )
-        return self._render_jit_cache[key](
-            params, self.occ_state.skipdist, self.bbox, rays,
-            self.raymarch_channels,
-        )
+            marched = int(out["num_marched"])
+            cand = int(out["num_cand"])
+            ok = True
+            if marched > n * spr:
+                self._infer_spr_bucket = bucket_for(
+                    marched * 1.25 / n, self.settings.max_steps
+                )
+                ok = False
+            if cand > n * wpr:
+                self._infer_win_bucket = next(
+                    (w for w in _WINDOW_BUCKETS if n * w >= cand * 1.25),
+                    max(_WINDOW_BUCKETS),
+                )
+                ok = False
+            if ok:
+                return out
+            if (self._infer_spr_bucket, self._infer_win_bucket) == (spr, wpr):
+                # Demand exceeds the top ladder rung: the buckets cannot
+                # grow further, so a retry would loop forever on the same
+                # truncating graph.  Accept the truncation loudly.
+                import warnings
+
+                warnings.warn(
+                    f"inference march demand ({marched / n:.0f} samples/ray,"
+                    f" {cand / n:.0f} windows/ray) exceeds the bucket-ladder"
+                    f" maxima ({spr}/{wpr}); rendering with truncation"
+                )
+                return out
 
     def render(
         self,
@@ -837,6 +857,12 @@ class Renderer:
             self._last_num_rays = int(sd.get("last_num_rays", 1))
             if "window_bucket" in sd:
                 self._window_bucket = int(sd["window_bucket"])
+            # Seed the inference march bucket from the recon-tuned demand
+            # (same scene, same occupancy -> same samples/ray scale).
+            self._infer_spr_bucket = max(
+                self._infer_spr_bucket,
+                min(self._budget_bucket, self.settings.max_steps),
+            )
         elif self._mean_count_host > 0:
             # Legacy ckpt: assume the reference's default train batch size.
             self._last_num_rays = 4096

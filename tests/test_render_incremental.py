@@ -51,7 +51,7 @@ class TestIncrementalRender:
         render_inc = make_incremental_renderer(
             spec, plan, 1e-4, 1.0, round_size=16, bucket=8
         )
-        inc = render_inc(params, sd, bbox, rays, 6)
+        inc = render_inc(params, OccField(bits, sd), bbox, rays, 6)
         np.testing.assert_allclose(
             np.asarray(full["rgb_map"]), np.asarray(inc["rgb_map"]),
             rtol=2e-4, atol=2e-5,
@@ -79,8 +79,8 @@ class TestIncrementalRender:
         sharded = make_incremental_renderer(
             spec, plan, 1e-4, 1.0, round_size=16, bucket=8, mesh=make_mesh(8)
         )
-        a = base(params, sd, bbox, rays, 6)
-        b = sharded(params, sd, bbox, rays, 6)
+        a = base(params, OccField(bits, sd), bbox, rays, 6)
+        b = sharded(params, OccField(bits, sd), bbox, rays, 6)
         assert int(a["num_points"]) == int(b["num_points"])
         for key in ("rgb_map", "weights_sum", "classes", "trans_map"):
             np.testing.assert_allclose(
@@ -89,7 +89,8 @@ class TestIncrementalRender:
 
     def test_no_truncation_under_tiny_budget(self, setup):
         """With a starved budget the budgeted path drops late rays' samples;
-        the incremental path must be unaffected (it has no budget)."""
+        the incremental path defaults its march budget to max_steps/ray (the
+        per-ray cap itself) and so can never truncate."""
         spec, params, plan, bbox, bits, sd, rays = setup
         starved = MarchPlan(
             bound=plan.bound, cascade=plan.cascade, grid_size=plan.grid_size,
@@ -103,7 +104,7 @@ class TestIncrementalRender:
         render_inc = make_incremental_renderer(
             spec, starved, 1e-4, 1.0, round_size=16, bucket=8
         )
-        inc = render_inc(params, sd, bbox, rays, 6)
+        inc = render_inc(params, OccField(bits, sd), bbox, rays, 6)
         np.testing.assert_allclose(
             np.asarray(full_ample["rgb_map"]), np.asarray(inc["rgb_map"]),
             rtol=2e-4, atol=2e-5,

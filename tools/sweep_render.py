@@ -32,6 +32,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # Persistent compile cache: the per-combo chunk graphs are large and the
+    # remote TPU compile helper is slow; caching makes repeat combos cheap.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from nerfstyle_tpu.config import (
         DatasetConfig, NetworkConfig, RendererConfig, TrainConfig, _from_dict,
     )
