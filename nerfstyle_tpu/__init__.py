@@ -22,3 +22,19 @@ Renderer -> Model -> ops/kernels, with Data feeding the trainer.
 """
 
 __version__ = "0.1.0"
+
+# Honor JAX_PLATFORMS even under PJRT plugins that ignore the env var: some
+# plugin backends (e.g. the remote-TPU tunnel in this environment) initialize
+# eagerly and can block indefinitely on an unreachable device even when the
+# user asked for a different platform.  Mirroring the env var into jax.config
+# before any backend initializes restores the documented env-var semantics
+# for every CLI/tool that imports this package.  No-op when unset.
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:  # pragma: no cover - config may already be frozen
+        pass
