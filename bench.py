@@ -276,8 +276,17 @@ def main():
     # blew up the round-2 driver bench).  Scene dir is versioned by view
     # count so cached 12-view scenes are never silently reused.
     views = int(os.environ.get("NERFSTYLE_BENCH_VIEWS", "30"))
-    scene = work / f"scene_{h}x{w}_v{views}"
-    generate_scene(scene, num_train=views, num_test=3, h=h, w=w)
+    # Enclosed room by default (NERFSTYLE_BENCH_SCENE=spheres for the legacy
+    # open scene): the reference's headline benchmark is the LLFF *room* —
+    # enclosed, every ray terminates on a wall, so early termination and the
+    # thin-shell occupancy regime actually engage.  The open sphere scene left
+    # ~97% of rays unterminated (T~1 to the far AABB face), which inflated
+    # inference sample demand ~20x and invited few-view fog during training.
+    variant = os.environ.get("NERFSTYLE_BENCH_SCENE", "room")
+    scene = work / f"scene_{variant}_{h}x{w}_v{views}"
+    generate_scene(
+        scene, num_train=views, num_test=3, h=h, w=w, room=variant == "room"
+    )
     data_cfg = work / "data.yaml"
     data_cfg.write_text(f"root_path: {scene}\ntype: Synthetic\nbound: 2.0\nscale: 1.0\n")
 
@@ -293,6 +302,7 @@ def main():
         "train_warmup_iters": int(os.environ.get("NERFSTYLE_BENCH_WARMUP", "120")),
         "train_timed_iters": int(os.environ.get("NERFSTYLE_BENCH_ITERS", "100")),
         "scene_res": f"{h}x{w}",
+        "scene": variant,
     }
 
     if not os.environ.get("NERFSTYLE_BENCH_SKIP_STYLE"):

@@ -38,6 +38,26 @@ _COLORS = np.array(
 )
 _LIGHT = np.array([0.5, -0.7, 0.6], dtype=np.float32)
 
+# Enclosed-room variant: an axis-aligned box around the spheres with the
+# cameras INSIDE.  The open sphere scene leaves most rays unterminated (they
+# exit into white background with transmittance ~1), which is unlike the
+# reference's headline benchmark (LLFF *room*: enclosed, every ray ends on a
+# wall, raymarching.cu's T<1e-4 early-out kills the tail).  The room gives
+# every pixel real geometry: early termination saturates, occupancy stays a
+# thin 2D shell, and few-view fog has nothing ambiguous to grow in.
+_ROOM_EXT = np.array([1.8, 1.8, 1.5], dtype=np.float32)  # half-extents
+_WALL_COLORS = np.array(
+    [
+        [0.85, 0.55, 0.45],  # +x
+        [0.45, 0.65, 0.85],  # -x
+        [0.80, 0.80, 0.55],  # +y
+        [0.60, 0.80, 0.60],  # -y
+        [0.75, 0.70, 0.65],  # +z (ceiling)
+        [0.55, 0.50, 0.48],  # -z (floor)
+    ],
+    dtype=np.float32,
+)
+
 
 def _look_at(eye: np.ndarray) -> np.ndarray:
     """c2w pose with camera at ``eye`` looking at origin; camera frame is
@@ -52,14 +72,60 @@ def _look_at(eye: np.ndarray) -> np.ndarray:
     return pose
 
 
-def _trace(origin: np.ndarray, dirs: np.ndarray):
-    """Ray-trace the sphere scene: returns (rgb [N, 3], seg [N])."""
-    n = dirs.shape[0]
-    rgb = np.ones((n, 3), np.float32)  # white background
-    seg = np.zeros(n, np.float32)  # class 0 = background
-    best_t = np.full(n, np.inf, np.float32)
+def _trace_room(origin: np.ndarray, dirs: np.ndarray):
+    """Exit intersection of rays (origin inside the box) with the room walls.
+
+    Returns (t [N], rgb [N, 3]): hit distance and checker-shaded wall color.
+    The origin is inside a convex box, so every ray exits through exactly one
+    face — the slab-method exit distance.
+    """
     light = _LIGHT / np.linalg.norm(_LIGHT)
-    for i, (sph, color) in enumerate(zip(_SPHERES, _COLORS)):
+    safe = np.where(np.abs(dirs) < 1e-9, 1e-9, dirs)
+    # Per axis, distance to the face the ray is heading toward.
+    t_axis = (np.sign(safe) * _ROOM_EXT[None] - origin[None]) / safe  # [N, 3]
+    axis = np.argmin(t_axis, axis=-1)
+    t = np.take_along_axis(t_axis, axis[:, None], axis=-1)[:, 0]
+    pt = origin[None] + t[:, None] * dirs
+    heading_pos = np.take_along_axis(dirs, axis[:, None], axis=-1)[:, 0] > 0
+    face = axis * 2 + np.where(heading_pos, 0, 1)  # +x,-x,+y,-y,+z,-z
+    # Checker texture in the two in-plane coordinates (0.6-unit tiles).
+    uv = np.stack(
+        [np.take_along_axis(pt, ((axis + 1) % 3)[:, None], axis=-1)[:, 0],
+         np.take_along_axis(pt, ((axis + 2) % 3)[:, None], axis=-1)[:, 0]],
+        axis=-1,
+    )
+    checker = (np.floor(uv[:, 0] / 0.6) + np.floor(uv[:, 1] / 0.6)) % 2
+    shade = np.where(checker > 0.5, 1.0, 0.72)
+    # Inward-facing normal = -sign(dir_axis) on that axis.
+    normal = np.zeros_like(dirs)
+    np.put_along_axis(
+        normal, axis[:, None], np.where(heading_pos, -1.0, 1.0)[:, None], axis=-1
+    )
+    lam = np.clip(np.sum(normal * light[None], axis=-1), 0.0, 1.0)
+    rgb = _WALL_COLORS[face] * (shade * (0.45 + 0.55 * lam))[:, None]
+    return t.astype(np.float32), rgb.astype(np.float32)
+
+
+def _trace(origin: np.ndarray, dirs: np.ndarray, room: bool = False):
+    """Ray-trace the scene: returns (rgb [N, 3], seg [N]).
+
+    ``room=False``: K spheres on a white background (open scene).
+    ``room=True``: the spheres inside an enclosed checker-walled box — every
+    ray terminates on geometry (walls are seg class 0).
+    """
+    n = dirs.shape[0]
+    if room:
+        best_t, rgb = _trace_room(origin, dirs)
+        # Smaller spheres in the room: keeps wall/depth variety in view even
+        # with the camera orbit inside the box.
+        spheres = _SPHERES * np.array([1, 1, 1, 0.7], dtype=np.float32)
+    else:
+        rgb = np.ones((n, 3), np.float32)  # white background
+        best_t = np.full(n, np.inf, np.float32)
+        spheres = _SPHERES
+    seg = np.zeros(n, np.float32)  # class 0 = background / walls
+    light = _LIGHT / np.linalg.norm(_LIGHT)
+    for i, (sph, color) in enumerate(zip(spheres, _COLORS)):
         oc = origin[None] - sph[:3]
         b = np.sum(dirs * oc, axis=-1)
         c = np.sum(oc * oc, axis=-1) - sph[3] ** 2
@@ -83,13 +149,21 @@ def generate_scene(
     num_test: int = 6,
     h: int = 96,
     w: int = 128,
-    cam_radius: float = 2.8,
+    cam_radius: Optional[float] = None,
+    room: bool = False,
 ) -> None:
-    """Render and cache the scene to ``root`` (idempotent)."""
+    """Render and cache the scene to ``root`` (idempotent).
+
+    ``room=True`` encloses the spheres in a checker-walled box and places the
+    camera orbit INSIDE it (see ``_trace``) — the representative benchmark
+    regime (reference headline scene: LLFF room, enclosed).
+    """
     root = Path(root)
     if (root / "meta.npz").exists():
         return
     root.mkdir(parents=True, exist_ok=True)
+    if cam_radius is None:
+        cam_radius = 1.55 if room else 2.8
 
     fx = fy = 0.9 * w
     cx, cy = w / 2.0, h / 2.0
@@ -102,15 +176,16 @@ def generate_scene(
         poses, images, segs = [], [], []
         for i in range(count):
             theta = 2 * np.pi * i / count + phase
+            z = (0.55 + 0.3 * np.sin(3 * theta)) if room else (
+                0.9 + 0.35 * np.sin(3 * theta))
             eye = np.array(
-                [cam_radius * np.cos(theta), cam_radius * np.sin(theta),
-                 0.9 + 0.35 * np.sin(3 * theta)],
+                [cam_radius * np.cos(theta), cam_radius * np.sin(theta), z],
                 dtype=np.float32,
             )
             pose = _look_at(eye)
             world_dirs = cam_dirs @ pose[:3, :3].T
             norm_dirs = world_dirs / np.linalg.norm(world_dirs, axis=-1, keepdims=True)
-            rgb, seg = _trace(pose[:3, 3], norm_dirs)
+            rgb, seg = _trace(pose[:3, 3], norm_dirs, room=room)
             poses.append(pose)
             images.append(rgb.reshape(h, w, 3))
             segs.append(seg.reshape(h, w))

@@ -192,5 +192,46 @@ class TestStratifiedOracle:
         np.testing.assert_allclose(np.asarray(acc_i), expected, rtol=5e-2)
 
 
+class TestSyntheticRoom:
+    """Enclosed-room variant of the procedural scene (bench default).
+
+    Every ray must terminate on geometry — the property that makes the
+    benchmark representative of the reference's headline scene (LLFF room:
+    enclosed, early termination engages on every pixel)."""
+
+    def test_room_fully_covered_and_inside_bound(self, tmp_path):
+        from nerfstyle_tpu.data.synthetic import (
+            _ROOM_EXT, _trace, generate_scene,
+        )
+
+        root = tmp_path / "room"
+        generate_scene(root, num_train=3, num_test=1, h=32, w=40, room=True)
+        data = np.load(root / "train_images.npz")
+        imgs, segs = data["images"], data["segs"]
+        # No white-background pixel anywhere: walls/spheres cover everything.
+        assert not np.any(np.all(imgs == 1.0, axis=-1))
+        assert set(np.unique(segs)) == {0.0, 1.0, 2.0, 3.0}
+        # Cameras are inside the room and the room is inside bound 2.
+        meta = np.load(root / "meta.npz")
+        eyes = meta["train_poses"][:, :3, 3]
+        assert np.all(np.abs(eyes) < _ROOM_EXT[None])
+        assert np.all(_ROOM_EXT < 2.0)
+
+        # Direct tracer check from a point between sphere and wall: the -x
+        # ray hits the central sphere, the +x ray the wall (seg 0).
+        dirs = np.array([[-1.0, 0.0, 0.0], [1.0, 0.0, 0.0]], np.float32)
+        rgb, seg = _trace(np.array([1.2, 0.0, 0.0], np.float32), dirs, room=True)
+        assert seg[0] == 1.0 and seg[1] == 0.0
+        assert rgb.shape == (2, 3)
+
+    def test_open_scene_unchanged(self, tmp_path):
+        from nerfstyle_tpu.data.synthetic import _trace
+
+        # Default (open) scene still has the white background.
+        dirs = np.array([[0.0, 0.0, 1.0]], np.float32)
+        rgb, seg = _trace(np.array([0.0, 0.0, 3.0], np.float32), dirs)
+        assert np.all(rgb == 1.0) and seg[0] == 0.0
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
