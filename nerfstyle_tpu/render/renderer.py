@@ -700,6 +700,92 @@ class Renderer:
         return self._render_fn(plan)(params, self.occ_field, self.bbox,
                                      rays.origins, rays.dirs)
 
+    def _render_chunk_incremental(
+        self, params: Params, rays: RayBundle, round_size: int
+    ) -> Dict[str, jnp.ndarray]:
+        """One incremental chunk dispatch at the CURRENT buckets — no host
+        fetch, no demand check (the caller batches those per frame)."""
+        spr = self._infer_spr_bucket
+        wpr = self._infer_win_bucket
+        key = ("incremental", round_size, spr, wpr, id(self.mesh))
+        if key not in self._render_jit_cache:
+            plan = self.make_plan(1, budget=1)  # re-chunked inside
+            self._render_jit_cache[key] = make_incremental_renderer(
+                self.field_spec, plan, self.settings.t_thresh,
+                self.settings.density_scale, self.compute_dtype,
+                round_size, bucket=self.settings.infer_bucket,
+                samples_per_ray=spr, windows_per_ray=wpr, mesh=self.mesh,
+            )
+        return self._render_jit_cache[key](
+            params, self.occ_field, self.bbox, rays, self.raymarch_channels,
+        )
+
+    def _grow_infer_buckets(self, n: int, marched: int, cand: int) -> bool:
+        """Grow the march-bucket ladders to cover observed demand on ``n``
+        rays.  Returns True if either bucket grew."""
+        before = (self._infer_spr_bucket, self._infer_win_bucket)
+        if marched > n * self._infer_spr_bucket:
+            self._infer_spr_bucket = bucket_for(
+                marched * 1.25 / n, self.settings.max_steps
+            )
+        if cand > n * self._infer_win_bucket:
+            self._infer_win_bucket = next(
+                (w for w in _WINDOW_BUCKETS if n * w >= cand * 1.25),
+                max(_WINDOW_BUCKETS),
+            )
+        return (self._infer_spr_bucket, self._infer_win_bucket) != before
+
+    def _render_frame_incremental(
+        self, params: Params, piece_rays: list, round_size: Optional[int] = None
+    ) -> list:
+        """Render a frame's chunks through the incremental path with ONE
+        batched demand fetch per frame.
+
+        All chunks dispatch back-to-back (device-resident outputs, no host
+        sync between them); the demand counters of every chunk are then
+        fetched in one transfer, the buckets grow to cover the frame-wide
+        maximum, and only the chunks that actually overflowed re-render.
+        Steady state: zero retries, one demand fetch per FRAME (a per-chunk
+        blocking fetch would cost a tunnel round trip per chunk — ~93 per
+        1008x756 frame at the 8192-ray default chunk)."""
+        if round_size is None:
+            round_size = self.settings.infer_round_size
+        pieces = [
+            self._render_chunk_incremental(params, pr, round_size)
+            for pr in piece_rays
+        ]
+        for _ in range(len(_WINDOW_BUCKETS) + 8):  # ladder is finite
+            demands = jax.device_get(
+                [(p["num_marched"], p["num_cand"]) for p in pieces]
+            )
+            spr, wpr = self._infer_spr_bucket, self._infer_win_bucket
+            over = [
+                i for i, (m, c) in enumerate(demands)
+                if m > len(piece_rays[i]) * spr or c > len(piece_rays[i]) * wpr
+            ]
+            if not over:
+                return pieces
+            n_max = max(len(piece_rays[i]) for i in over)
+            grew = self._grow_infer_buckets(
+                n_max,
+                max(int(demands[i][0]) for i in over),
+                max(int(demands[i][1]) for i in over),
+            )
+            if not grew:
+                import warnings
+
+                worst = max(int(demands[i][0]) / len(piece_rays[i]) for i in over)
+                warnings.warn(
+                    f"inference march demand ({worst:.0f} samples/ray) exceeds"
+                    " the bucket-ladder maxima; rendering with truncation"
+                )
+                return pieces
+            for i in over:
+                pieces[i] = self._render_chunk_incremental(
+                    params, piece_rays[i], round_size
+                )
+        return pieces
+
     def render_ray_batch_incremental(
         self, params: Params, rays: RayBundle, round_size: Optional[int] = None
     ) -> Dict[str, jnp.ndarray]:
@@ -709,44 +795,22 @@ class Renderer:
         windows/ray ladders, seeded from the recon-tuned buckets riding the
         checkpoint); the renderer returns exact demand counters, and an
         undersized bucket triggers ONE grow-and-re-render (subsequent chunks
-        reuse the grown bucket, so steady state pays zero retries and one
-        demand fetch per chunk)."""
+        reuse the grown bucket, so steady state pays zero retries).  Frame
+        rendering (``render``) batches the demand fetches across all chunks
+        instead of calling this per chunk — a blocking per-chunk fetch would
+        serialize dispatch into one tunnel round trip per chunk."""
         if round_size is None:
             round_size = self.settings.infer_round_size
         n = len(rays)
         while True:
-            spr = self._infer_spr_bucket
-            wpr = self._infer_win_bucket
-            key = ("incremental", round_size, spr, wpr, id(self.mesh))
-            if key not in self._render_jit_cache:
-                plan = self.make_plan(1, budget=1)  # re-chunked inside
-                self._render_jit_cache[key] = make_incremental_renderer(
-                    self.field_spec, plan, self.settings.t_thresh,
-                    self.settings.density_scale, self.compute_dtype,
-                    round_size, bucket=self.settings.infer_bucket,
-                    samples_per_ray=spr, windows_per_ray=wpr, mesh=self.mesh,
-                )
-            out = self._render_jit_cache[key](
-                params, self.occ_field, self.bbox, rays,
-                self.raymarch_channels,
-            )
+            out = self._render_chunk_incremental(params, rays, round_size)
             marched = int(out["num_marched"])
             cand = int(out["num_cand"])
-            ok = True
-            if marched > n * spr:
-                self._infer_spr_bucket = bucket_for(
-                    marched * 1.25 / n, self.settings.max_steps
-                )
-                ok = False
-            if cand > n * wpr:
-                self._infer_win_bucket = next(
-                    (w for w in _WINDOW_BUCKETS if n * w >= cand * 1.25),
-                    max(_WINDOW_BUCKETS),
-                )
-                ok = False
-            if ok:
+            if marched <= n * self._infer_spr_bucket and (
+                cand <= n * self._infer_win_bucket
+            ):
                 return out
-            if (self._infer_spr_bucket, self._infer_win_bucket) == (spr, wpr):
+            if not self._grow_infer_buckets(n, marched, cand):
                 # Demand exceeds the top ladder rung: the buckets cannot
                 # grow further, so a retry would loop forever on the same
                 # truncating graph.  Accept the truncation loudly.
@@ -755,7 +819,7 @@ class Renderer:
                 warnings.warn(
                     f"inference march demand ({marched / n:.0f} samples/ray,"
                     f" {cand / n:.0f} windows/ray) exceeds the bucket-ladder"
-                    f" maxima ({spr}/{wpr}); rendering with truncation"
+                    " maxima; rendering with truncation"
                 )
                 return out
 
@@ -801,15 +865,14 @@ class Renderer:
             # Inference uses the incremental alive-ray loop, which never
             # truncates (reference render_test, renderer.py:237-293).
             use_incremental = self.settings.adaptive_march and not training
-            pieces = []
-            for i in range(0, n + pad, chunk):
-                piece_rays = RayBundle(o[i : i + chunk], d[i : i + chunk])
-                if use_incremental:
-                    pieces.append(
-                        self.render_ray_batch_incremental(params, piece_rays)
-                    )
-                else:
-                    pieces.append(self.render_ray_batch(params, piece_rays))
+            piece_rays = [
+                RayBundle(o[i : i + chunk], d[i : i + chunk])
+                for i in range(0, n + pad, chunk)
+            ]
+            if use_incremental:
+                pieces = self._render_frame_incremental(params, piece_rays)
+            else:
+                pieces = [self.render_ray_batch(params, pr) for pr in piece_rays]
             out = {
                 k: jnp.concatenate([p[k] for p in pieces])[:n]
                 for k in ("rgb_map", "trans_map", "classes", "weights_sum")
