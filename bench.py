@@ -145,17 +145,29 @@ def bench_style(work: Path, data_cfg: Path, ckpt: Path):
         _force(st.params["x_color_embedder"][0, 0])
         return time.perf_counter() - t0, total_iters, "measured_200"
 
-    warmup = 2
-    timed = int(os.environ.get("NERFSTYLE_BENCH_STYLE_ITERS", "4"))
-    for _ in range(warmup):
+    # Epoch 1 is measured EXACTLY: under style_geom_cache each pose pays a
+    # one-time geometry-cache build (march + density extraction) on first
+    # visit, so extrapolating from steady-state iterations alone would skip
+    # that cost entirely.  The data iterator is a per-epoch permutation, so
+    # len(train_set) iterations cover every pose (all builds + compiles) once.
+    n_poses = min(len(st.train_set), total_iters)
+    t0 = time.perf_counter()
+    for _ in range(n_poses):
         st.run_iter()
     _force(st.params["x_color_embedder"][0, 0])
+    epoch1_s = time.perf_counter() - t0
+
+    timed = int(os.environ.get("NERFSTYLE_BENCH_STYLE_ITERS", "4"))
+    timed = min(timed, max(1, total_iters - n_poses))
     t0 = time.perf_counter()
     for _ in range(timed):
         st.run_iter()
     _force(st.params["x_color_embedder"][0, 0])
     per_iter = (time.perf_counter() - t0) / timed
-    return per_iter * total_iters, total_iters, f"extrapolated_from_{timed}"
+    total_s = epoch1_s + per_iter * (total_iters - n_poses)
+    return total_s, total_iters, (
+        f"epoch1_measured_{epoch1_s:.1f}s_plus_extrapolated_from_{timed}"
+    )
 
 
 def bench_render(work: Path, data_cfg: Path, ckpt: Path, out_w=1008, out_h=756):

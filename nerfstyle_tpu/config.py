@@ -536,6 +536,23 @@ class TrainConfig(Config):
     photo_lambda: float = 0.0001
     """Photorealistic loss multiplier."""
 
+    style_geom_cache: bool = True
+    """TPU-specific: cache each pose's frozen geometry (the compacted
+    weight-significant samples) once, then run every stylization iteration as
+    ONE fused forward+backward over the cached stream.  Valid because the
+    density grid is frozen during stylization (the reference optimizes only
+    the color embedder, trainers/style.py:25), so per-pose marching, density,
+    and compositing weights never change across the run.  False restores the
+    reference-shaped two-pass deferred-backprop scheme."""
+
+    style_geom_cache_eps: float = 1e-4
+    """Weight threshold of the frozen-geometry cache: samples whose
+    compositing weight is <= eps are dropped from the cached stream.  The
+    per-pixel error is bounded by eps * samples/ray — the same order as the
+    reference's own T<1e-4 early-termination (raymarching.cu:1218-1227).
+    0 keeps every contributing sample (bitwise parity with the two-pass
+    scheme up to reduction order)."""
+
     style_seg_path: Optional[Path] = None
     """Style image segment groups."""
 

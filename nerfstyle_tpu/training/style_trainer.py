@@ -104,6 +104,11 @@ class StyleTrainer(Trainer):
         # Per-pose host caches (valid for the whole run: density frozen).
         self._win_counts_cache: Dict[int, np.ndarray] = {}
         self._win_group_cache: Dict[int, list] = {}
+        # Frozen-geometry caches (style_geom_cache): per-pose compacted
+        # weight-significant sample streams; see _build_geom_cache.
+        self._geom_cache: Dict[int, Dict] = {}
+        self._sig_bucket = 8  # significant samples/ray bucket (ladder-grown)
+        self._frame_dirs_dev = None
         # Bucket-retune fetch gating (run_iter): fetches stop for good after
         # two consecutive no-change retunes.
         self._retunes_active = True
@@ -116,19 +121,22 @@ class StyleTrainer(Trainer):
     # loss (style.py:74-117)
     # ------------------------------------------------------------------
 
-    def _image_losses(self, rgb_map_flat, target_chw, preds):
+    def _image_losses(self, rgb_map_flat, target_chw, preds, target_content_feat=None):
         """Full-image losses as a pure function of the rendered pixels.
 
         rgb_map_flat: [HW, 3]; target_chw: [3, H, W]; preds: [H, W] labels.
+        ``target_content_feat`` optionally supplies the (constant) content
+        feature of the target image, skipping its VGG forward.
         Returns (total, dict of scalars).
         """
         w, h = self.train_set.intr.size()
         rgb_chw = rgb_map_flat.T.reshape(3, h, w)
 
         rgb_feats = self.fx(rgb_chw)
-        target_feats = self.fx(target_chw)
+        if target_content_feat is None:
+            target_content_feat = self.fx(target_chw)[self.content_feat]
 
-        content = mse_loss(rgb_feats[self.content_feat], target_feats[self.content_feat])
+        content = mse_loss(rgb_feats[self.content_feat], target_content_feat)
         style = self.style_loss(rgb_feats, None, preds, self.iter_ctr)
 
         content = content * self.train_cfg.content_lambda
@@ -341,10 +349,414 @@ class StyleTrainer(Trainer):
         return acc
 
     # ------------------------------------------------------------------
+    # frozen-geometry fast path (style_geom_cache)
+    #
+    # The reference re-marches and re-evaluates the ENTIRE field for every
+    # pose on every iteration — in pass 1 (full-image render) AND pass 2
+    # (patch re-renders under autograd), trainers/style.py:177-198.  But the
+    # stylization stage freezes the density branch (only x_color_embedder
+    # trains, style.py:25), so a pose's geometry — marched sample positions,
+    # densities, compositing weights, per-pixel accumulated alpha — is
+    # CONSTANT for all 200 iterations.  TPU-first consequence: march +
+    # density are hoisted out of the loop entirely.  Each pose's weight-
+    # significant samples are extracted ONCE into a compacted device cache,
+    # and every iteration becomes ONE jitted forward+backward over that
+    # stream: color-branch evaluation, segment-sum compositing, VGG losses,
+    # and the color-grid VJP — no marching, no density MLP, no window
+    # machinery, no multi-pass scheme.
+    # ------------------------------------------------------------------
+
+    def _frame_dirs(self):
+        """Camera-frame direction grid for the full frame (device-resident)
+        plus the integer pixel maps that align a raw image with ray order."""
+        if self._frame_dirs_dev is None:
+            from ..core.cameras import camera_dir_grid
+
+            cam_dirs_np, ys, xs = camera_dir_grid(
+                self.train_set.intr, self.settings.flip_camera
+            )
+            self._frame_dirs_dev = (
+                jnp.asarray(cam_dirs_np.reshape(-1, 3)), ys, xs
+            )
+        return self._frame_dirs_dev
+
+    def _cache_build_fn(self, chunk: int, spb: int):
+        """Jitted per-chunk extractor: march + density + weights, then
+        compact the weight-significant samples to a [chunk*spb] stream."""
+        key = (
+            "geombuild", chunk, spb,
+            self.renderer._budget_bucket, self.renderer._window_bucket,
+        )
+        if key in self._pass2_cache:
+            return self._pass2_cache[key]
+
+        from ..core.types import make_rays
+        from ..models.fields import field_density
+        from ..ops.aabb import near_far_from_aabb
+        from ..ops.compact import compact_indices
+        from ..ops.compositing import segment_exclusive_cumsum
+        from ..ops.marching import march_rays
+
+        spec = self.field_spec
+        settings = self.settings
+        bbox = self.train_set.bbox
+        dtype = self.compute_dtype
+        plan = self.renderer.make_plan(chunk)
+        cap = chunk * spb
+        eps = float(self.train_cfg.style_geom_cache_eps)
+        use_dir = spec.use_dir
+
+        @jax.jit
+        def f(params, bitfield, pose, cam_dirs_chunk):
+            rot = pose[:3, :3]
+            origin = pose[:3, 3]
+            rays = make_rays(origin, cam_dirs_chunk @ rot.T)
+            nears, fars = near_far_from_aabb(
+                rays.origins, rays.dirs, plan.aabb, plan.min_near
+            )
+            sb = march_rays(plan, bitfield, rays, nears, fars)
+            sigmas = field_density(
+                spec, params, bbox, sb.xyz, compute_dtype=dtype
+            ) * settings.density_scale
+            # Same weight formula (and inf-sigma cap) as ops/compositing.py.
+            sdt = jnp.where(sb.valid, jnp.minimum(sigmas * plan.dt, 100.0), 0.0)
+            excl = segment_exclusive_cumsum(sdt, sb.ray_id, chunk)
+            trans = jnp.exp(-excl)
+            alpha = 1.0 - jnp.exp(-sdt)
+            included = trans >= settings.t_thresh
+            w = alpha * trans * included.astype(sigmas.dtype)
+
+            sig = (w > eps) & sb.valid
+            n_sig = jnp.sum(sig, dtype=jnp.int32)
+            idx = compact_indices(sig, cap, plan.budget)
+            ok = idx < plan.budget
+            take = jnp.minimum(idx, plan.budget - 1)
+            xyz = jnp.take(sb.xyz, take, axis=0)
+            wv = jnp.where(ok, jnp.take(w, take), 0.0)
+            rid = jnp.where(ok, jnp.take(sb.ray_id, take), chunk)
+            acc_ws = jax.ops.segment_sum(w, sb.ray_id, num_segments=chunk + 1)[:chunk]
+            # Dropped (sub-threshold) weight mass per ray: the exact error
+            # bound of the cache, reported once per pose in the build log.
+            dropped = jax.ops.segment_sum(
+                jnp.where(sig, 0.0, w), sb.ray_id, num_segments=chunk + 1
+            )[:chunk]
+            out = (xyz, wv, rid, acc_ws, jnp.max(dropped), n_sig,
+                   sb.num_kept, sb.num_cand)
+            if use_dir:
+                dirs = jnp.take(sb.dirs, take, axis=0)
+                return out + (dirs,)
+            return out
+
+        self._pass2_cache[key] = f
+        return f
+
+    def _build_geom_cache(self, pose_idx: int, image, pose_dev) -> Dict:
+        """Extract the pose's frozen geometry into a compacted device cache.
+
+        Chunked over the frame (renderer.infer_chunk rays per dispatch);
+        march/window/significant-sample buckets grow on exact observed demand
+        and only the overflowed chunks re-run (one batched demand fetch)."""
+        from ..render.renderer import _BUDGET_BUCKETS, bucket_for
+
+        w, h = self.train_set.intr.size()
+        hw = w * h
+        chunk = min(self.settings.infer_chunk, hw)
+        cam_dirs, ys, xs = self._frame_dirs()
+        pad = (-hw) % chunk
+        if pad:
+            cam_dirs = jnp.concatenate([cam_dirs, jnp.ones((pad, 3))])
+        n_chunks = (hw + pad) // chunk
+        bitfield = self.renderer.occ_field
+
+        t0 = time.time()
+        pieces = [None] * n_chunks
+        todo = list(range(n_chunks))
+        for _ in range(len(_BUDGET_BUCKETS) + 8):  # ladders are finite
+            fn = self._cache_build_fn(chunk, self._sig_bucket)
+            for i in todo:
+                pieces[i] = fn(
+                    self.params, bitfield, pose_dev,
+                    jax.lax.slice_in_dim(cam_dirs, i * chunk, (i + 1) * chunk),
+                )
+            demands = jax.device_get(
+                [(p[5], p[6], p[7]) for p in pieces]
+            )
+            budget = chunk * self.renderer._budget_bucket
+            wb = chunk * self.renderer._window_bucket
+            cap = chunk * self._sig_bucket
+            todo = [
+                i for i, (s, k, c) in enumerate(demands)
+                if s > cap or k > budget or c > wb
+            ]
+            if not todo:
+                break
+            s_max = max(int(demands[i][0]) for i in todo)
+            k_max = max(int(demands[i][1]) for i in todo)
+            c_max = max(int(demands[i][2]) for i in todo)
+            before = (
+                self.renderer._budget_bucket, self.renderer._window_bucket,
+                self._sig_bucket,
+            )
+            if k_max > budget or c_max > wb:
+                self.renderer.retune_bucket_now(
+                    max(k_max, budget), chunk, num_cand=max(c_max, wb)
+                )
+            if s_max > cap:
+                self._sig_bucket = bucket_for(
+                    s_max * 1.25 / chunk, self.settings.max_steps
+                )
+            if (
+                self.renderer._budget_bucket, self.renderer._window_bucket,
+                self._sig_bucket,
+            ) == before:
+                # Demand exceeds a hard cap (max_samples_per_ray / ladder
+                # max): the buckets cannot grow, so the cached stream
+                # truncates exactly like the budgeted two-pass path does
+                # under the same cap.  Rebuilding would loop forever.
+                self.logger.warning(
+                    "geometry-cache demand exceeds hard caps (samples %.0f, "
+                    "kept %.0f, windows %.0f per ray); caching with "
+                    "truncation", s_max / chunk, k_max / chunk, c_max / chunk,
+                )
+                break
+
+        cache = {
+            "xyz": jnp.concatenate([p[0] for p in pieces]),
+            "w": jnp.concatenate([p[1] for p in pieces]),
+            "rid": jnp.concatenate(
+                [
+                    jnp.where(p[2] < chunk, jnp.minimum(p[2] + i * chunk, hw), hw)
+                    for i, p in enumerate(pieces)
+                ]
+            ),
+            "acc_ws": jnp.concatenate([p[3] for p in pieces])[:hw],
+        }
+        if self.field_spec.use_dir:
+            cache["dirs"] = jnp.concatenate([p[8] for p in pieces])
+        # Dataset images are channels-first [C, H, W] (C = 3, or 4 with the
+        # segmentation channel).  Gather through the ys/xs pixel maps so the
+        # target is in RAY order — identical to generate_rays' target
+        # (core/cameras.py:111-113); under flip_camera the raw image rows
+        # would otherwise misalign with rgb_map's ray-major layout.
+        img = jnp.asarray(image)
+        target_chw = img[:3][:, jnp.asarray(ys)][:, :, jnp.asarray(xs)]
+        cache["target_chw"] = target_chw
+        cache["tgt_feat"] = self.fx(target_chw)[self.content_feat]
+        n_sig = sum(int(d[0]) for d in demands)
+        drop_max = max(float(jax.device_get(p[4])) for p in pieces)
+        self.logger.info(
+            "Pose %d geometry cache: %d significant samples (%.1f/ray, "
+            "bucket %d/ray), max dropped weight/ray %.2e, built in %.2fs",
+            pose_idx, n_sig, n_sig / hw, self._sig_bucket, drop_max,
+            time.time() - t0,
+        )
+        self._geom_cache[pose_idx] = cache
+        return cache
+
+    def _color_channels(self, params, cache_xyz, cache_dirs=None):
+        """StyleTCNerf color-branch channels (style_nerf.py:129-142) for a
+        cached sample stream: h_color -> class/color1/color2 heads ->
+        [S, 3+K].  Pointwise in the samples, so it shards on the stream."""
+        from ..models.fields import _encoder_input
+        from ..ops.hashgrid import hashgrid_encode
+        from ..ops.mlp import mlp_apply
+        from ..ops.sh import sh_encode
+
+        spec = self.field_spec
+        dtype = self.compute_dtype
+        x = _encoder_input(self.train_set.bbox, cache_xyz)
+        # No dedup: compaction breaks the marched stream's run coherence, so
+        # the run-start cap would chronically overflow into the fallback.
+        h_color = hashgrid_encode(
+            spec.grid, params["x_color_embedder"], x,
+            bwd_pack=dtype == jnp.bfloat16,
+        )
+        classes = mlp_apply(params["class_net"], h_color, compute_dtype=dtype)
+        color1 = mlp_apply(params["color1_net"], h_color, compute_dtype=dtype)
+        if spec.use_dir:
+            d01 = (cache_dirs + 1.0) / 2.0
+            rgb_in = jnp.concatenate([color1, sh_encode(d01, spec.sh_degree)], -1)
+        else:
+            rgb_in = color1
+        rgbs = mlp_apply(
+            params["color2_net"], rgb_in, output_activation="sigmoid",
+            compute_dtype=dtype,
+        )
+        return jnp.concatenate([rgbs, classes], axis=-1)
+
+    def _color_forward(self, params, cache_xyz, cache_w, cache_rid,
+                       cache_acc_ws, cache_dirs=None):
+        """Color-branch forward over a cached stream -> (rgb_map [HW,3],
+        class_map [HW,K]): channels, then segment-sum compositing with the
+        cached weights."""
+        w, h = self.train_set.intr.size()
+        hw = w * h
+        ch = self._color_channels(params, cache_xyz, cache_dirs)
+        img = jax.ops.segment_sum(
+            cache_w[:, None] * ch, cache_rid, num_segments=hw + 1
+        )[:hw]
+        # White background blend, identical to render_rays (renderer.py:232).
+        rgb_map = img[:, :3] + (1.0 - cache_acc_ws)[:, None]
+        return rgb_map, img[:, 3:]
+
+    def _cache_args(self, cache):
+        return (
+            cache["xyz"], cache["w"], cache["rid"], cache["acc_ws"],
+            cache.get("dirs"),
+        )
+
+    def _fast_fwd_fn(self, S: int):
+        """Jitted forward-only render from a cached stream (matching init)."""
+        key = ("fastfwd", S)
+        if key not in self._pass2_cache:
+            w, h = self.train_set.intr.size()
+
+            @jax.jit
+            def f(params, xyz, wgt, rid, acc_ws, dirs):
+                rgb_map, cls_map = self._color_forward(
+                    params, xyz, wgt, rid, acc_ws, dirs
+                )
+                return rgb_map, jnp.argmax(cls_map, axis=1).reshape(h, w)
+
+            self._pass2_cache[key] = f
+        return self._pass2_cache[key]
+
+    def _fast_step_fn(self, S: int):
+        """Jitted fused style step: loss + color-grid grads from a cache.
+
+        Keyed on the stream size and the (trace-static) Hungarian matching
+        state — update_matching swaps the loss's masking constants.
+
+        With a device mesh, the sample stream shards on the batch axis: each
+        device evaluates the color branch on its shard and segment-sums a
+        partial image; ONE psum assembles the full image, the (cheap) VGG
+        loss replicates, and AD through shard_map psums the color-grid grads
+        — two all-reduces per step total."""
+        mv = None if self.style_loss.matching is None else tuple(
+            int(m) for m in self.style_loss.matching
+        )
+        mesh = self.mesh
+        n_dev = mesh.devices.size if mesh is not None else 1
+        use_mesh = n_dev > 1 and S % n_dev == 0
+        key = ("faststep", S, mv, use_mesh and id(mesh))
+        if key in self._pass2_cache:
+            return self._pass2_cache[key]
+
+        w, h = self.train_set.intr.size()
+        hw = w * h
+
+        def image_loss(trainable, frozen, xyz, wgt, rid, acc_ws, dirs,
+                       target_chw, tgt_feat, *, sharded: bool):
+            p = {**trainable, **frozen}
+            ch = self._color_channels(p, xyz, dirs)
+            img = jax.ops.segment_sum(
+                wgt[:, None] * ch, rid, num_segments=hw + 1
+            )[:hw]
+            if sharded:
+                img = jax.lax.psum(img, "data")
+            rgb_map = img[:, :3] + (1.0 - acc_ws)[:, None]
+            preds = jnp.argmax(img[:, 3:], axis=1).reshape(h, w)
+            return self._image_losses(rgb_map, target_chw, preds, tgt_feat)
+
+        if use_mesh:
+            from functools import partial
+
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.mesh import shard_map
+
+            dirs_spec = P("data") if self.field_spec.use_dir else P()
+            loss_fn = shard_map(
+                partial(image_loss, sharded=True),
+                mesh=mesh,
+                in_specs=(
+                    P(), P(), P("data"), P("data"), P("data"), P(),
+                    dirs_spec, P(), P(),
+                ),
+                out_specs=P(),
+                check_vma=False,
+            )
+        else:
+            from functools import partial
+
+            loss_fn = partial(image_loss, sharded=False)
+
+        @jax.jit
+        def f(trainable, frozen, xyz, wgt, rid, acc_ws, dirs, target_chw, tgt_feat):
+            (total, scalars), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                trainable, frozen, xyz, wgt, rid, acc_ws, dirs,
+                target_chw, tgt_feat,
+            )
+            return total, scalars, g
+
+        self._pass2_cache[key] = f
+        return self._pass2_cache[key]
+
+    def _run_iter_cached(self):
+        """One style iteration on the frozen-geometry fast path."""
+        self.time0 = time.time()
+        pose_idx, (image, pose) = next(self._data_iter)
+        pose_dev = jnp.asarray(pose)
+
+        cache = self._geom_cache.get(pose_idx)
+        if cache is None:
+            cache = self._build_geom_cache(pose_idx, image, pose_dev)
+        S = cache["xyz"].shape[0]
+
+        # First call computes the Hungarian matching on host (loss.py:169-184)
+        # BEFORE the step traces — the matching is a trace-time constant.
+        if self.style_loss.use_matching and self.style_loss.matching is None:
+            w, h = self.train_set.intr.size()
+            rgb_map, preds = self._fast_fwd_fn(S)(
+                self.params, *self._cache_args(cache)
+            )
+            feats = self.fx(rgb_map.T.reshape(3, h, w))[self.style_loss.keys[0]][0]
+            self.style_loss.update_matching(feats, preds)
+            self.logger.info(
+                "Style matching: %s", list(map(int, self.style_loss.matching))
+            )
+
+        trainable, frozen = self._split_params()
+        total, scalars, grads = self._fast_step_fn(S)(
+            trainable, frozen, *self._cache_args(cache),
+            cache["target_chw"], cache["tgt_feat"],
+        )
+
+        full_grads = {
+            **grads,
+            **jax.tree_util.tree_map(jnp.zeros_like, frozen),
+        }
+        updates, self.opt_state = self.optim.update(
+            full_grads, self.opt_state, self.params
+        )
+        import optax
+
+        self.params = optax.apply_updates(self.params, updates)
+        # EMA intentionally NOT updated in the style stage (style.py:205).
+
+        self.iter_ctr += 1
+        self.time1 = time.time()
+
+        losses_lv = self._to_loss_values(scalars)
+        if self._check_interval(self.train_cfg.intervals.print):
+            self.print_status(losses_lv)
+        if self._check_interval(self.train_cfg.intervals.test):
+            self.test_networks()
+        if self._check_interval(self.train_cfg.intervals.log):
+            self.log_status(losses_lv)
+        if self._check_interval(self.train_cfg.intervals.ckpt, final=True):
+            self.save_ckpt()
+
+    # ------------------------------------------------------------------
     # iteration (style.py:162-219)
     # ------------------------------------------------------------------
 
     def run_iter(self):
+        if self.train_cfg.style_geom_cache:
+            return self._run_iter_cached()
+        return self._run_iter_two_pass()
+
+    def _run_iter_two_pass(self):
         self.time0 = time.time()
         pose_idx, (image, pose) = next(self._data_iter)
         image_dev = jnp.asarray(image)

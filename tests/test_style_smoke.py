@@ -162,6 +162,87 @@ class TestStyleStage:
                 a, b, rtol=5e-3, atol=2e-3 * np.abs(b).max(),
             )
 
+    def test_frozen_geom_cache_matches_two_pass(self, recon_ckpt):
+        """The frozen-geometry fast path (style_geom_cache, eps=0) must
+        produce the same loss and color-grid GRADS as the two-pass
+        deferred-backprop scheme: with density frozen, caching the marched
+        weights and re-evaluating only the color branch is an exact
+        refactoring of the render (up to fp reduction order)."""
+        root, data_cfg, ckpt, style_path, seg_path, tiny, _ = recon_ckpt
+        import jax
+        import jax.numpy as jnp
+        from nerfstyle_tpu.config import BaseConfig
+        from nerfstyle_tpu.training.style_trainer import StyleTrainer
+
+        def make(extra, log_name):
+            cfg = BaseConfig(
+                log_dir=root / log_name, data_cfg=data_cfg,
+                ckpt=ckpt, style_image=style_path,
+            )
+            nargs = list(tiny) + [
+                "--style_seg_path", str(seg_path),
+                "--style_matching", "0,1,2,3",  # fixed: identical loss masks
+                "--defer_patch_size", "32",
+                "--test_before_train",
+                # No-truncation budgets: equality needs both schemes to
+                # composite the same samples.
+                "--max_samples_per_ray", "64",
+            ] + extra
+            st = StyleTrainer(cfg, nargs)
+            st.renderer._budget_bucket = 64
+            return st
+
+        fast = make(["--style_geom_cache_eps", "0.0"], "fast_logs")
+        slow = make(["--style_geom_cache"], "slow_logs")  # toggle true -> false
+        assert fast.train_cfg.style_geom_cache
+        assert not slow.train_cfg.style_geom_cache
+
+        image, pose = slow.train_set[0]
+        pose_dev = jnp.asarray(pose)
+        w, h = slow.train_set.intr.size()
+        trainable, frozen = slow._split_params()
+
+        # --- two-pass grads (pass 1 render -> pixel cotangents -> pass 2) ---
+        output = slow.renderer.render(
+            slow.params, pose_dev, jnp.asarray(image), training=True
+        )
+        target_chw = output["target"][:, :3].T.reshape(3, h, w)
+        preds = jnp.argmax(output["classes"], axis=1).reshape(h, w)
+        (total_slow, _), pixel_grad = jax.value_and_grad(
+            slow._image_losses, has_aux=True
+        )(output["rgb_map"], target_chw, preds)
+        g_slow = slow._pass2_grads(
+            0, trainable, frozen, slow.renderer.occ_field, pose_dev, pixel_grad
+        )
+
+        # --- frozen-geometry fast path on the identical params ---
+        cache = fast._build_geom_cache(0, image, pose_dev)
+        total_fast, _, g_fast = fast._fast_step_fn(cache["xyz"].shape[0])(
+            trainable, frozen, *fast._cache_args(cache),
+            cache["target_chw"], cache["tgt_feat"],
+        )
+
+        np.testing.assert_allclose(
+            float(total_fast), float(total_slow), rtol=1e-4
+        )
+        for k in g_slow:
+            a, b = np.asarray(g_fast[k]), np.asarray(g_slow[k])
+            np.testing.assert_allclose(
+                a, b, rtol=5e-3, atol=2e-3 * np.abs(b).max()
+            )
+
+        # The fast path end-to-end: runs, only the color grid moves.
+        density_before = np.asarray(fast.params["x_density_embedder"]).copy()
+        color_before = np.asarray(fast.params["x_color_embedder"]).copy()
+        fast.run_iter()
+        fast.run_iter()
+        np.testing.assert_array_equal(
+            density_before, np.asarray(fast.params["x_density_embedder"])
+        )
+        assert np.abs(
+            np.asarray(fast.params["x_color_embedder"]) - color_before
+        ).max() > 0
+
     def test_render_cli_from_ckpt(self, recon_ckpt, monkeypatch, capsys):
         root, data_cfg, ckpt, *_ = recon_ckpt
         import sys
