@@ -204,6 +204,50 @@ def field_density(
     return trunc_exp(out[:, 0])
 
 
+def field_color(
+    spec: FieldSpec,
+    params: Params,
+    bbox: BBox,
+    pts: jnp.ndarray,
+    dirs: Optional[jnp.ndarray] = None,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Color-branch-only forward: [M, 3] pts (+dirs) -> channels [M, 3+K].
+
+    StyleTCNerf's color heads (style_nerf.py:129-142) read ONLY the color
+    embedder, so weight-significant samples whose density is already known
+    (the two-phase inference renderer, the style stage's frozen-geometry
+    cache) can skip the density table and MLP entirely.  No corner dedup:
+    compacted significant-sample streams have no run coherence, so the
+    run-start cap would chronically overflow into the cond fallback.
+
+    For the base TCNerf the color head consumes the density MLP's hidden
+    features (tcnn_nerf.py:126-139) — there is no density-free color path,
+    so this falls back to the full forward and returns its channels.
+    """
+    if spec.kind != "style":
+        rgbs, _ = field_apply(spec, params, bbox, pts, dirs, compute_dtype)
+        return rgbs
+
+    x = _encoder_input(bbox, pts)
+    h_color = hashgrid_encode(
+        spec.grid, params["x_color_embedder"], x,
+        bwd_pack=compute_dtype == jnp.bfloat16,
+    )
+    classes = mlp_apply(params["class_net"], h_color, compute_dtype=compute_dtype)
+    color1 = mlp_apply(params["color1_net"], h_color, compute_dtype=compute_dtype)
+    if spec.use_dir:
+        d01 = (dirs + 1.0) / 2.0
+        rgb_in = jnp.concatenate([color1, sh_encode(d01, spec.sh_degree)], axis=-1)
+    else:
+        rgb_in = color1
+    rgbs = mlp_apply(
+        params["color2_net"], rgb_in, output_activation="sigmoid",
+        compute_dtype=compute_dtype,
+    )
+    return jnp.concatenate([rgbs, classes], axis=-1)
+
+
 def field_apply(
     spec: FieldSpec,
     params: Params,

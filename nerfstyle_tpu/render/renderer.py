@@ -85,6 +85,13 @@ class RenderSettings:
     infer_round_size: int = 32
     # TPU-specific: rays per jitted incremental-render call (image chunking).
     infer_chunk: int = 8192
+    # TPU-specific: two-phase inference (density branch on the whole marched
+    # stream, color branch only on weight-significant samples) instead of the
+    # incremental alive-ray loop.  See make_two_phase_renderer.
+    infer_two_phase: bool = True
+    # TPU-specific: weight threshold of the two-phase color compaction; each
+    # dropped sample contributes < eps per channel.  0 = keep all w > 0.
+    infer_sig_eps: float = 1e-5
 
 
 def cascade_for_bound(bound: float) -> int:
@@ -405,6 +412,186 @@ def make_incremental_renderer(
     return render
 
 
+def make_two_phase_renderer(
+    field_spec: FieldSpec,
+    base_plan: MarchPlan,
+    t_thresh: float,
+    density_scale: float,
+    compute_dtype=jnp.float32,
+    sig_eps: float = 1e-5,
+    samples_per_ray: Optional[int] = None,
+    windows_per_ray: Optional[int] = None,
+    sig_per_ray: int = 8,
+    mesh=None,
+):
+    """Two-phase inference renderer: density on everything, color on the few.
+
+    The incremental loop (:func:`make_incremental_renderer`) still evaluates
+    the FULL field — fused dual-grid encode + all four MLP heads — on every
+    marched sample it touches, in ``round_size``-granule batches inside a
+    serialized ``while_loop`` (hundreds of small sequential steps per frame;
+    a [b*s, .] batch of 16k samples cannot fill the chip).  But at inference
+    the density branch alone determines the compositing weights, and in a
+    terminating scene only a handful of samples per ray carry weight above
+    the reference's own T < t_thresh cutoff (raymarching.cu:1218-1227).
+
+    So: phase A marches the chunk ONCE (vectorized two-stage march) and runs
+    the DENSITY branch over the entire compacted stream — one huge,
+    MXU-friendly batch, with ray-coherent corner dedup intact (the marched
+    stream is run-coherent).  Exact weights come from the same segment-scan
+    as ops/compositing.py.  Phase B compacts the weight-significant samples
+    (w > sig_eps) and evaluates the COLOR branch — the expensive half: color
+    encode, class/color1/color2 heads, SH — on only those, then composites
+    by segment-sum.  Two large dispatches per chunk replace the loop.
+
+    Exactness: identical to the incremental path for every sample with
+    w > sig_eps; dropped samples each contribute < sig_eps per channel
+    (bounded by sig_eps * samples/ray ~ 1e-5 * 256 << 1/255 per pixel).
+    ``sig_eps=0`` keeps every w > 0 sample (bit-parity up to fp reduction
+    order) at the cost of a near-full-stream phase B.
+
+    ``sig_per_ray`` sizes the phase-B compaction capacity; the exact demand
+    counter ``num_sig`` (like ``num_marched`` / ``num_cand``) lets the
+    caller grow a bucket ladder and re-render on overflow.
+
+    Multi-device: same shard_map layout as the incremental renderer — each
+    device marches and shades its own ray shard; one psum of the counters.
+    """
+    import dataclasses
+
+    from ..models.fields import field_color
+    from ..ops.compositing import segment_exclusive_cumsum
+
+    jit_cache = {}
+
+    def body_for(chunk: int, channels: int):
+        dt = base_plan.dt
+        spr = samples_per_ray if samples_per_ray else base_plan.max_steps
+        spr = min(spr, base_plan.max_steps)
+        budget = chunk * spr
+        wb = chunk * windows_per_ray if windows_per_ray else None
+        plan_c = dataclasses.replace(
+            base_plan, num_rays=chunk, budget=budget, window_budget=wb
+        )
+        cap = chunk * min(sig_per_ray, spr)
+
+        def render_chunk(params, occ, bbox, origins, dirs):
+            rays = RayBundle(origins, dirs)
+            nears, fars = near_far_from_aabb(
+                origins, dirs, plan_c.aabb, plan_c.min_near
+            )
+            sb = march_rays(plan_c, occ, rays, nears, fars)
+
+            # Phase A: density branch over the whole marched stream; exact
+            # weights via the segment scan (identical math + NaN cap to
+            # ops/compositing.py composite_rays).
+            sigmas = field_density(
+                field_spec, params, bbox, sb.xyz, compute_dtype=compute_dtype
+            ) * density_scale
+            sdt = jnp.where(sb.valid, jnp.minimum(sigmas * dt, 100.0), 0.0)
+            excl = segment_exclusive_cumsum(sdt, sb.ray_id, chunk)
+            trans = jnp.exp(-excl)
+            alpha = 1.0 - jnp.exp(-sdt)
+            included = trans >= t_thresh  # raymarching.cu:1218-1227
+            w = alpha * trans * included.astype(sigmas.dtype)
+
+            # Phase B: color branch on the weight-significant samples only.
+            sig = (w > sig_eps) & sb.valid
+            n_sig = jnp.sum(sig, dtype=jnp.int32)
+            idx = compact_indices(sig, cap, budget)  # [cap], fill = budget
+            ok = idx < budget
+            take = jnp.minimum(idx, budget - 1)
+            xyz_sig = jnp.take(sb.xyz, take, axis=0)
+            w_sig = jnp.where(ok, jnp.take(w, take), 0.0)
+            rid_sig = jnp.where(ok, jnp.take(sb.ray_id, take), chunk)
+            dirs_sig = jnp.take(sb.dirs, take, axis=0)
+            ch = field_color(
+                field_spec, params, bbox, xyz_sig, dirs_sig,
+                compute_dtype=compute_dtype,
+            )  # [cap, channels]
+
+            acc_img = jax.ops.segment_sum(
+                w_sig[:, None] * ch, rid_sig, num_segments=chunk + 1
+            )[:chunk]
+            # weights_sum / depth from the FULL stream (free — w is already
+            # computed), so pixel alpha and depth are exact regardless of
+            # sig_eps.
+            acc_ws = jax.ops.segment_sum(
+                w, sb.ray_id, num_segments=chunk + 1
+            )[:chunk]
+            acc_depth = jax.ops.segment_sum(
+                w * sb.tau, sb.ray_id, num_segments=chunk + 1
+            )[:chunk]
+
+            rgb = acc_img[:, :3] + (1.0 - acc_ws)[:, None]
+            # identical post-processing to render_rays (white bg, depth norm)
+            depth = jnp.clip(acc_depth - nears, min=0.0) / jnp.maximum(
+                fars - nears, 1e-10
+            )
+            return {
+                "rgb_map": rgb,
+                "trans_map": depth,
+                "classes": acc_img[:, 3:],
+                "weights_sum": acc_ws,
+                # Field evaluations: density on the stream + color on the few.
+                "num_points": sb.num_kept + n_sig,
+                # Exact demand counters for the caller's grow-and-retry.
+                "num_marched": sb.num_kept,
+                "num_cand": sb.num_cand,
+                "num_sig": n_sig,
+            }
+
+        return render_chunk
+
+    def chunk_fn_for(chunk: int, channels: int):
+        key = (chunk, channels)
+        if key in jit_cache:
+            return jit_cache[key]
+
+        n_dev = mesh.devices.size if mesh is not None else 1
+        if n_dev > 1 and chunk % n_dev == 0:
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.mesh import shard_map
+
+            local = body_for(chunk // n_dev, channels)
+
+            def per_device(params, occ, bbox, origins, dirs):
+                out = local(params, occ, bbox, origins, dirs)
+                for k in ("num_points", "num_marched", "num_cand", "num_sig"):
+                    out[k] = jax.lax.psum(out[k], "data")
+                return out
+
+            fn = shard_map(
+                per_device,
+                mesh=mesh,
+                in_specs=(P(), P(), P(), P("data"), P("data")),
+                out_specs={
+                    "rgb_map": P("data"),
+                    "trans_map": P("data"),
+                    "classes": P("data"),
+                    "weights_sum": P("data"),
+                    "num_points": P(),
+                    "num_marched": P(),
+                    "num_cand": P(),
+                    "num_sig": P(),
+                },
+                check_vma=False,
+            )
+            jit_cache[key] = jax.jit(fn)
+        else:
+            jit_cache[key] = jax.jit(body_for(chunk, channels))
+        return jit_cache[key]
+
+    def render(params, occ, bbox, rays: RayBundle, channels: int):
+        n = rays.origins.shape[0]
+        return chunk_fn_for(n, channels)(
+            params, occ, bbox, rays.origins, rays.dirs
+        )
+
+    return render
+
+
 class Renderer:
     """Host-side orchestrator: occupancy state + jitted render/update fns.
 
@@ -467,6 +654,9 @@ class Renderer:
         # the sample bucket from the recon-tuned one riding the checkpoint.
         self._infer_spr_bucket = min(64, settings.max_steps)
         self._infer_win_bucket = 32
+        # Two-phase color compaction bucket (significant samples/ray); grown
+        # on the exact num_sig counter like the march buckets above.
+        self._infer_sig_bucket = 8
         # Candidate-window capacity (windows/ray) of the two-stage march;
         # starts at the ladder max (~the full window domain: safe, slower)
         # and shrinks with hysteresis as observed candidate counts allow.
@@ -720,10 +910,44 @@ class Renderer:
             params, self.occ_field, self.bbox, rays, self.raymarch_channels,
         )
 
-    def _grow_infer_buckets(self, n: int, marched: int, cand: int) -> bool:
+    def _render_chunk_two_phase(
+        self, params: Params, rays: RayBundle
+    ) -> Dict[str, jnp.ndarray]:
+        """One two-phase chunk dispatch at the CURRENT buckets — no host
+        fetch, no demand check (the caller batches those per frame)."""
+        spr = self._infer_spr_bucket
+        wpr = self._infer_win_bucket
+        sigb = min(self._infer_sig_bucket, spr)
+        key = ("two_phase", spr, wpr, sigb, id(self.mesh))
+        if key not in self._render_jit_cache:
+            plan = self.make_plan(1, budget=1)  # re-chunked inside
+            self._render_jit_cache[key] = make_two_phase_renderer(
+                self.field_spec, plan, self.settings.t_thresh,
+                self.settings.density_scale, self.compute_dtype,
+                sig_eps=self.settings.infer_sig_eps,
+                samples_per_ray=spr, windows_per_ray=wpr,
+                sig_per_ray=sigb, mesh=self.mesh,
+            )
+        return self._render_jit_cache[key](
+            params, self.occ_field, self.bbox, rays, self.raymarch_channels,
+        )
+
+    def _render_chunk_infer(
+        self, params: Params, rays: RayBundle, round_size: int
+    ) -> Dict[str, jnp.ndarray]:
+        if self.settings.infer_two_phase:
+            return self._render_chunk_two_phase(params, rays)
+        return self._render_chunk_incremental(params, rays, round_size)
+
+    def _grow_infer_buckets(
+        self, n: int, marched: int, cand: int, sig: int = 0
+    ) -> bool:
         """Grow the march-bucket ladders to cover observed demand on ``n``
-        rays.  Returns True if either bucket grew."""
-        before = (self._infer_spr_bucket, self._infer_win_bucket)
+        rays.  Returns True if any bucket grew."""
+        before = (
+            self._infer_spr_bucket, self._infer_win_bucket,
+            self._infer_sig_bucket,
+        )
         if marched > n * self._infer_spr_bucket:
             self._infer_spr_bucket = bucket_for(
                 marched * 1.25 / n, self.settings.max_steps
@@ -733,7 +957,14 @@ class Renderer:
                 (w for w in _WINDOW_BUCKETS if n * w >= cand * 1.25),
                 max(_WINDOW_BUCKETS),
             )
-        return (self._infer_spr_bucket, self._infer_win_bucket) != before
+        if sig > n * min(self._infer_sig_bucket, self._infer_spr_bucket):
+            self._infer_sig_bucket = bucket_for(
+                sig * 1.25 / n, self.settings.max_steps
+            )
+        return (
+            self._infer_spr_bucket, self._infer_win_bucket,
+            self._infer_sig_bucket,
+        ) != before
 
     def _render_frame_incremental(
         self, params: Params, piece_rays: list, round_size: Optional[int] = None
@@ -751,17 +982,22 @@ class Renderer:
         if round_size is None:
             round_size = self.settings.infer_round_size
         pieces = [
-            self._render_chunk_incremental(params, pr, round_size)
+            self._render_chunk_infer(params, pr, round_size)
             for pr in piece_rays
         ]
         for _ in range(len(_WINDOW_BUCKETS) + 8):  # ladder is finite
             demands = jax.device_get(
-                [(p["num_marched"], p["num_cand"]) for p in pieces]
+                [
+                    (p["num_marched"], p["num_cand"], p.get("num_sig", 0))
+                    for p in pieces
+                ]
             )
             spr, wpr = self._infer_spr_bucket, self._infer_win_bucket
+            sigb = min(self._infer_sig_bucket, spr)
             over = [
-                i for i, (m, c) in enumerate(demands)
+                i for i, (m, c, s) in enumerate(demands)
                 if m > len(piece_rays[i]) * spr or c > len(piece_rays[i]) * wpr
+                or s > len(piece_rays[i]) * sigb
             ]
             if not over:
                 return pieces
@@ -770,6 +1006,7 @@ class Renderer:
                 n_max,
                 max(int(demands[i][0]) for i in over),
                 max(int(demands[i][1]) for i in over),
+                max(int(demands[i][2]) for i in over),
             )
             if not grew:
                 import warnings
@@ -781,7 +1018,7 @@ class Renderer:
                 )
                 return pieces
             for i in over:
-                pieces[i] = self._render_chunk_incremental(
+                pieces[i] = self._render_chunk_infer(
                     params, piece_rays[i], round_size
                 )
         return pieces
@@ -803,14 +1040,17 @@ class Renderer:
             round_size = self.settings.infer_round_size
         n = len(rays)
         while True:
-            out = self._render_chunk_incremental(params, rays, round_size)
+            out = self._render_chunk_infer(params, rays, round_size)
             marched = int(out["num_marched"])
             cand = int(out["num_cand"])
-            if marched <= n * self._infer_spr_bucket and (
-                cand <= n * self._infer_win_bucket
+            sig = int(out.get("num_sig", 0))
+            if (
+                marched <= n * self._infer_spr_bucket
+                and cand <= n * self._infer_win_bucket
+                and sig <= n * min(self._infer_sig_bucket, self._infer_spr_bucket)
             ):
                 return out
-            if not self._grow_infer_buckets(n, marched, cand):
+            if not self._grow_infer_buckets(n, marched, cand, sig):
                 # Demand exceeds the top ladder rung: the buckets cannot
                 # grow further, so a retry would loop forever on the same
                 # truncating graph.  Accept the truncation loudly.

@@ -555,34 +555,14 @@ class StyleTrainer(Trainer):
 
     def _color_channels(self, params, cache_xyz, cache_dirs=None):
         """StyleTCNerf color-branch channels (style_nerf.py:129-142) for a
-        cached sample stream: h_color -> class/color1/color2 heads ->
-        [S, 3+K].  Pointwise in the samples, so it shards on the stream."""
-        from ..models.fields import _encoder_input
-        from ..ops.hashgrid import hashgrid_encode
-        from ..ops.mlp import mlp_apply
-        from ..ops.sh import sh_encode
+        cached sample stream: [S, 3+K].  Pointwise in the samples, so it
+        shards on the stream.  Dedup-free (models/fields.py field_color)."""
+        from ..models.fields import field_color
 
-        spec = self.field_spec
-        dtype = self.compute_dtype
-        x = _encoder_input(self.train_set.bbox, cache_xyz)
-        # No dedup: compaction breaks the marched stream's run coherence, so
-        # the run-start cap would chronically overflow into the fallback.
-        h_color = hashgrid_encode(
-            spec.grid, params["x_color_embedder"], x,
-            bwd_pack=dtype == jnp.bfloat16,
+        return field_color(
+            self.field_spec, params, self.train_set.bbox, cache_xyz,
+            cache_dirs, compute_dtype=self.compute_dtype,
         )
-        classes = mlp_apply(params["class_net"], h_color, compute_dtype=dtype)
-        color1 = mlp_apply(params["color1_net"], h_color, compute_dtype=dtype)
-        if spec.use_dir:
-            d01 = (cache_dirs + 1.0) / 2.0
-            rgb_in = jnp.concatenate([color1, sh_encode(d01, spec.sh_degree)], -1)
-        else:
-            rgb_in = color1
-        rgbs = mlp_apply(
-            params["color2_net"], rgb_in, output_activation="sigmoid",
-            compute_dtype=dtype,
-        )
-        return jnp.concatenate([rgbs, classes], axis=-1)
 
     def _color_forward(self, params, cache_xyz, cache_w, cache_rid,
                        cache_acc_ws, cache_dirs=None):

@@ -18,6 +18,7 @@ from nerfstyle_tpu.ops.marching import MarchPlan, OccField
 from nerfstyle_tpu.ops.occupancy import skipdist_from_bitfield
 from nerfstyle_tpu.render.renderer import (
     make_incremental_renderer,
+    make_two_phase_renderer,
     render_rays,
 )
 
@@ -108,6 +109,99 @@ class TestIncrementalRender:
         np.testing.assert_allclose(
             np.asarray(full_ample["rgb_map"]), np.asarray(inc["rgb_map"]),
             rtol=2e-4, atol=2e-5,
+        )
+
+
+class TestTwoPhaseRender:
+    """Two-phase inference (density on all, color on weight-significant
+    samples) vs the budgeted pipeline — see make_two_phase_renderer."""
+
+    def test_eps_zero_matches_budgeted_render(self, setup):
+        """At sig_eps=0 every w > 0 sample is color-evaluated, so the output
+        equals render_rays up to fp reduction order."""
+        spec, params, plan, bbox, bits, sd, rays = setup
+        full = render_rays(
+            spec, plan, params, OccField(bits, sd), bbox, rays,
+            t_thresh=1e-4, density_scale=1.0,
+        )
+        render_tp = make_two_phase_renderer(
+            spec, plan, 1e-4, 1.0, sig_eps=0.0, sig_per_ray=plan.max_steps
+        )
+        tp = render_tp(params, OccField(bits, sd), bbox, rays, 6)
+        assert int(tp["num_sig"]) <= 32 * plan.max_steps
+        for key, atol in (
+            ("rgb_map", 2e-5), ("weights_sum", 2e-5),
+            ("classes", 2e-4), ("trans_map", 2e-5),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(full[key]), np.asarray(tp[key]),
+                rtol=2e-4, atol=atol, err_msg=key,
+            )
+
+    def test_default_eps_error_bounded(self, setup):
+        """At the 1e-5 default, per-pixel error is bounded by
+        eps * samples/ray on rgb/classes; weights_sum and depth stay exact
+        (computed from the full stream)."""
+        spec, params, plan, bbox, bits, sd, rays = setup
+        full = render_rays(
+            spec, plan, params, OccField(bits, sd), bbox, rays,
+            t_thresh=1e-4, density_scale=1.0,
+        )
+        render_tp = make_two_phase_renderer(
+            spec, plan, 1e-4, 1.0, sig_eps=1e-5, sig_per_ray=plan.max_steps
+        )
+        tp = render_tp(params, OccField(bits, sd), bbox, rays, 6)
+        bound = 1e-5 * plan.max_steps  # eps * samples/ray
+        assert (
+            np.abs(np.asarray(full["rgb_map"]) - np.asarray(tp["rgb_map"])).max()
+            < bound
+        )
+        np.testing.assert_allclose(
+            np.asarray(full["weights_sum"]), np.asarray(tp["weights_sum"]),
+            rtol=2e-4, atol=2e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(full["trans_map"]), np.asarray(tp["trans_map"]),
+            rtol=2e-4, atol=2e-5,
+        )
+
+    def test_sharded_matches_unsharded(self, setup):
+        from nerfstyle_tpu.parallel.mesh import make_mesh
+
+        spec, params, plan, bbox, bits, sd, rays = setup
+        base = make_two_phase_renderer(spec, plan, 1e-4, 1.0, sig_per_ray=64)
+        sharded = make_two_phase_renderer(
+            spec, plan, 1e-4, 1.0, sig_per_ray=64, mesh=make_mesh(8)
+        )
+        a = base(params, OccField(bits, sd), bbox, rays, 6)
+        b = sharded(params, OccField(bits, sd), bbox, rays, 6)
+        for counter in ("num_points", "num_marched", "num_sig"):
+            assert int(a[counter]) == int(b[counter]), counter
+        for key in ("rgb_map", "weights_sum", "classes", "trans_map"):
+            np.testing.assert_allclose(
+                np.asarray(a[key]), np.asarray(b[key]), rtol=2e-4, atol=2e-5
+            )
+
+    def test_sig_overflow_reports_exact_demand(self, setup):
+        """An undersized sig capacity truncates but reports the true count so
+        the caller's ladder can grow; the grown render matches."""
+        spec, params, plan, bbox, bits, sd, rays = setup
+        small = make_two_phase_renderer(spec, plan, 1e-4, 1.0, sig_per_ray=1)
+        out_small = small(params, OccField(bits, sd), bbox, rays, 6)
+        n_sig = int(out_small["num_sig"])
+        assert n_sig > 32 * 1  # the fixture scene has >1 significant/ray
+        big = make_two_phase_renderer(
+            spec, plan, 1e-4, 1.0, sig_per_ray=-(-n_sig // 32) + 1
+        )
+        out_big = big(params, OccField(bits, sd), bbox, rays, 6)
+        assert int(out_big["num_sig"]) == n_sig
+        full = render_rays(
+            spec, plan, params, OccField(bits, sd), bbox, rays,
+            t_thresh=1e-4, density_scale=1.0,
+        )
+        np.testing.assert_allclose(
+            np.asarray(full["rgb_map"]), np.asarray(out_big["rgb_map"]),
+            rtol=2e-4, atol=1e-3,  # 1e-5 default eps x 128 steps
         )
 
 

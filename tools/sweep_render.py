@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--buckets", default="512,2048,8192")
     ap.add_argument("--rounds", default="16,32,64")
     ap.add_argument("--chunks", default="8192,32768")
+    ap.add_argument(
+        "--modes", default="two_phase,incremental",
+        help="two_phase sweeps chunks only (bucket/round unused)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -96,16 +100,25 @@ def main():
     _, pose = test_set[0]
     pose_dev = jnp.asarray(pose)
 
-    combos = [
-        (b, r, c)
-        for b in (int(x) for x in args.buckets.split(","))
-        for r in (int(x) for x in args.rounds.split(","))
-        for c in (int(x) for x in args.chunks.split(","))
-    ]
-    print(f"{'bucket':>7} {'round':>6} {'chunk':>7} {'ms/frame':>10} "
-          f"{'FPS':>7} {'Msamples':>9}")
+    modes = args.modes.split(",")
+    combos = []
+    if "two_phase" in modes:
+        # bucket/round are incremental-loop knobs; only chunk matters here.
+        combos += [
+            ("two_phase", 0, 0, c)
+            for c in (int(x) for x in args.chunks.split(","))
+        ]
+    if "incremental" in modes:
+        combos += [
+            ("incremental", b, r, c)
+            for b in (int(x) for x in args.buckets.split(","))
+            for r in (int(x) for x in args.rounds.split(","))
+            for c in (int(x) for x in args.chunks.split(","))
+        ]
+    print(f"{'mode':>12} {'bucket':>7} {'round':>6} {'chunk':>7} "
+          f"{'ms/frame':>10} {'FPS':>7} {'Msamples':>9}")
     results = []
-    for bucket, rnd, chunk in combos:
+    for mode, bucket, rnd, chunk in combos:
         settings = RenderSettings(
             grid_size=render_cfg.grid_size,
             update_iter=render_cfg.update_iter,
@@ -120,9 +133,10 @@ def main():
             density_decay=render_cfg.density_decay,
             max_samples_per_ray=render_cfg.max_samples_per_ray,
             max_budget_samples=render_cfg.max_budget_samples,
-            infer_bucket=bucket,
-            infer_round_size=rnd,
+            infer_bucket=bucket or 512,
+            infer_round_size=rnd or 32,
             infer_chunk=chunk,
+            infer_two_phase=mode == "two_phase",
         )
         renderer = Renderer(
             field_spec, train_set.bbox, settings, intr,
@@ -147,15 +161,15 @@ def main():
                 npts = int(out["num_points"])
                 ts.append(time.perf_counter() - t0)
             ms = float(np.median(ts)) * 1e3
-            print(f"{bucket:>7} {rnd:>6} {chunk:>7} {ms:>10.0f} "
+            print(f"{mode:>12} {bucket:>7} {rnd:>6} {chunk:>7} {ms:>10.0f} "
                   f"{1e3 / ms:>7.3f} {npts / 1e6:>9.1f}", flush=True)
-            results.append((bucket, rnd, chunk, ms))
+            results.append((mode, bucket, rnd, chunk, ms))
         except Exception as e:  # OOM etc: report and continue
-            print(f"{bucket:>7} {rnd:>6} {chunk:>7}   FAILED: {str(e)[:60]}",
-                  flush=True)
+            print(f"{mode:>12} {bucket:>7} {rnd:>6} {chunk:>7}   "
+                  f"FAILED: {str(e)[:60]}", flush=True)
     if results:
-        b, r, c, ms = min(results, key=lambda t: t[3])
-        print(f"best: bucket={b} round={r} chunk={c} ({ms:.0f} ms, "
+        m, b, r, c, ms = min(results, key=lambda t: t[4])
+        print(f"best: mode={m} bucket={b} round={r} chunk={c} ({ms:.0f} ms, "
               f"{1e3 / ms:.3f} FPS)")
 
 
