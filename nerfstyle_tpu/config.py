@@ -545,6 +545,13 @@ class TrainConfig(Config):
     and compositing weights never change across the run.  False restores the
     reference-shaped two-pass deferred-backprop scheme."""
 
+    style_geom_cache_max_poses: int = 0
+    """Maximum poses held in the frozen-geometry device cache at once
+    (LRU-evicted beyond it; an evicted pose rebuilds on its next visit).
+    0 = unbounded.  Each pose costs roughly rays * sig_bucket * 20 bytes of
+    HBM (~120 MB at 378x504 with 32 significant samples/ray); bound this on
+    datasets with many training views."""
+
     style_geom_cache_eps: float = 1e-4
     """Weight threshold of the frozen-geometry cache: samples whose
     compositing weight is <= eps are dropped from the cached stream.  The

@@ -105,7 +105,9 @@ class StyleTrainer(Trainer):
         self._win_counts_cache: Dict[int, np.ndarray] = {}
         self._win_group_cache: Dict[int, list] = {}
         # Frozen-geometry caches (style_geom_cache): per-pose compacted
-        # weight-significant sample streams; see _build_geom_cache.
+        # weight-significant sample streams; see _build_geom_cache.  Insertion
+        # order doubles as LRU order (dict is re-inserted on hit) for the
+        # style_geom_cache_max_poses eviction cap.
         self._geom_cache: Dict[int, Dict] = {}
         self._sig_bucket = 8  # significant samples/ray bucket (ladder-grown)
         self._frame_dirs_dev = None
@@ -681,6 +683,14 @@ class StyleTrainer(Trainer):
         cache = self._geom_cache.get(pose_idx)
         if cache is None:
             cache = self._build_geom_cache(pose_idx, image, pose_dev)
+        else:
+            # Refresh LRU position (dicts preserve insertion order).
+            del self._geom_cache[pose_idx]
+            self._geom_cache[pose_idx] = cache
+        cap = self.train_cfg.style_geom_cache_max_poses
+        while cap > 0 and len(self._geom_cache) > cap:
+            evicted = next(iter(self._geom_cache))
+            del self._geom_cache[evicted]  # freed on device by refcount
         S = cache["xyz"].shape[0]
 
         # First call computes the Hungarian matching on host (loss.py:169-184)
