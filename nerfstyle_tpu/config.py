@@ -545,6 +545,18 @@ class TrainConfig(Config):
     and compositing weights never change across the run.  False restores the
     reference-shaped two-pass deferred-backprop scheme."""
 
+    style_step_window_slots: int = 524288
+    """TPU-specific: single-device HBM bound of the frozen-geometry style
+    step.  A cached stream larger than this many sample slots is processed in
+    a scanned window loop — forward accumulates the image window by window,
+    then the pixel cotangents backpropagate per window (grads are EXACT: the
+    composited image is linear in the per-sample color channels) — bounding
+    the hash-grid backward's sort-stream temps at 8 * levels * window entries
+    instead of 8 * levels * S (a full 378x504 stream is ~4M slots -> ~500M
+    sort entries, several GB of temps, an OOM on one chip).  0 disables
+    windowing.  With a multi-device mesh the stream shards instead (each
+    device already holds only S/n_devices slots)."""
+
     style_geom_cache_max_poses: int = 0
     """Maximum poses held in the frozen-geometry device cache at once
     (LRU-evicted beyond it; an evicted pose rebuilds on its next visit).

@@ -613,13 +613,20 @@ class StyleTrainer(Trainer):
         device evaluates the color branch on its shard and segment-sums a
         partial image; ONE psum assembles the full image, the (cheap) VGG
         loss replicates, and AD through shard_map psums the color-grid grads
-        — two all-reduces per step total."""
+        — two all-reduces per step total.
+
+        On a single device, streams above style_step_window_slots go through
+        the scanned-window variant (:meth:`_fast_step_windowed_fn`) to bound
+        the hash-grid backward's sort-stream temps."""
         mv = None if self.style_loss.matching is None else tuple(
             int(m) for m in self.style_loss.matching
         )
         mesh = self.mesh
         n_dev = mesh.devices.size if mesh is not None else 1
         use_mesh = n_dev > 1 and S % n_dev == 0
+        win = int(self.train_cfg.style_step_window_slots)
+        if not use_mesh and 0 < win < S:
+            return self._fast_step_windowed_fn(S, -(-S // win))
         key = ("faststep", S, mv, use_mesh and id(mesh))
         if key in self._pass2_cache:
             return self._pass2_cache[key]
@@ -670,6 +677,107 @@ class StyleTrainer(Trainer):
                 target_chw, tgt_feat,
             )
             return total, scalars, g
+
+        self._pass2_cache[key] = f
+        return self._pass2_cache[key]
+
+    def _fast_step_windowed_fn(self, S: int, n_win: int):
+        """Scanned-window variant of the fused style step (same signature).
+
+        One jitted fn: the forward scans the cached stream in ``n_win``
+        equal windows accumulating the composited image, the VGG/style loss
+        backpropagates to PIXEL cotangents once, and a second scan
+        backpropagates each window's per-sample cotangent
+        (w * pixel_grad[ray]) through the color branch, accumulating table
+        grads.  EXACT: the composited image is linear in the per-sample
+        color channels, so splitting the VJP at the pixel boundary is the
+        chain rule, not an approximation (same scheme as the two-pass
+        deferred backprop, reference trainers/style.py:177-198 — but over
+        the cached stream, with no marching or density work).  Peak memory
+        is one window's encode activations + sort stream instead of the
+        whole stream's.
+        """
+        mv = None if self.style_loss.matching is None else tuple(
+            int(m) for m in self.style_loss.matching
+        )
+        key = ("faststepwin", S, n_win, mv)
+        if key in self._pass2_cache:
+            return self._pass2_cache[key]
+
+        from ..models.fields import field_color
+
+        spec = self.field_spec
+        bbox = self.train_set.bbox
+        dtype = self.compute_dtype
+        w, h = self.train_set.intr.size()
+        hw = w * h
+        channels = 3 + spec.class_dim
+        win = -(-S // n_win)
+        pad = n_win * win - S
+        use_dir = spec.use_dir
+
+        @jax.jit
+        def f(trainable, frozen, xyz, wgt, rid, acc_ws, dirs, target_chw, tgt_feat):
+            p = {**trainable, **frozen}
+
+            def padded(a, fill):
+                if pad == 0:
+                    return a
+                return jnp.concatenate(
+                    [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)]
+                )
+
+            xyz_w = padded(xyz, 0.0).reshape(n_win, win, 3)
+            wgt_w = padded(wgt, 0.0).reshape(n_win, win)
+            rid_w = padded(rid, hw).reshape(n_win, win)
+            xs = (xyz_w, wgt_w, rid_w)
+            if use_dir:
+                xs = xs + (padded(dirs, 0.0).reshape(n_win, win, 3),)
+
+            def fwd_body(img, x):
+                xyz_i, wgt_i, rid_i = x[:3]
+                ch = field_color(
+                    spec, p, bbox, xyz_i, x[3] if use_dir else None,
+                    compute_dtype=dtype,
+                )
+                return img + jax.ops.segment_sum(
+                    wgt_i[:, None] * ch, rid_i, num_segments=hw + 1
+                ), None
+
+            img0 = jnp.zeros((hw + 1, channels), jnp.float32)
+            img, _ = jax.lax.scan(fwd_body, img0, xs)
+            img = img[:hw]
+            rgb_map = img[:, :3] + (1.0 - acc_ws)[:, None]
+            preds = jnp.argmax(img[:, 3:], axis=1).reshape(h, w)
+
+            (total, scalars), pixel_grad = jax.value_and_grad(
+                self._image_losses, has_aux=True
+            )(rgb_map, target_chw, preds, tgt_feat)
+            # Row hw = the fill target of padding/overflow slots: zero grad.
+            pg = jnp.concatenate(
+                [pixel_grad, jnp.zeros((1, 3), pixel_grad.dtype)]
+            )
+
+            def bwd_body(acc, x):
+                xyz_i, wgt_i, rid_i = x[:3]
+                cot = wgt_i[:, None] * jnp.take(pg, rid_i, axis=0)
+
+                def weighted_sum(tr):
+                    pp = {**tr, **frozen}
+                    ch = field_color(
+                        spec, pp, bbox, xyz_i, x[3] if use_dir else None,
+                        compute_dtype=dtype,
+                    )
+                    return jnp.sum(ch[:, :3] * cot)
+
+                g = jax.grad(weighted_sum)(trainable)
+                return jax.tree_util.tree_map(jnp.add, acc, g), None
+
+            acc0 = jax.tree_util.tree_map(
+                lambda a: jnp.zeros_like(a), trainable
+            )
+            grads, _ = jax.lax.scan(bwd_body, acc0, xs)
+            return total, scalars, grads
 
         self._pass2_cache[key] = f
         return self._pass2_cache[key]

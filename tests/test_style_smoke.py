@@ -231,6 +231,23 @@ class TestStyleStage:
                 a, b, rtol=5e-3, atol=2e-3 * np.abs(b).max()
             )
 
+        # --- scanned-window variant (the single-device HBM-bounded step)
+        # must reproduce the monolithic step exactly: the image is linear in
+        # the per-sample channels, so the pixel-boundary VJP split is the
+        # chain rule.  Force ~4 windows on this small stream.
+        S = cache["xyz"].shape[0]
+        total_win, _, g_win = fast._fast_step_windowed_fn(S, 4)(
+            trainable, frozen, *fast._cache_args(cache),
+            cache["target_chw"], cache["tgt_feat"],
+        )
+        np.testing.assert_allclose(float(total_win), float(total_fast), rtol=1e-5)
+        for k in g_fast:
+            a, b = np.asarray(g_win[k]), np.asarray(g_fast[k])
+            np.testing.assert_allclose(
+                a, b, rtol=1e-4, atol=1e-5 * max(np.abs(b).max(), 1e-8),
+                err_msg=k,
+            )
+
         # The fast path end-to-end: runs, only the color grid moves.
         density_before = np.asarray(fast.params["x_density_embedder"]).copy()
         color_before = np.asarray(fast.params["x_color_embedder"]).copy()
