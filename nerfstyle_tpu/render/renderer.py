@@ -539,6 +539,13 @@ def make_two_phase_renderer(
                 "num_marched": sb.num_kept,
                 "num_cand": sb.num_cand,
                 "num_sig": n_sig,
+                # Diagnostic: samples BEFORE each ray's T < t_thresh cutoff —
+                # what an early-termination-aware phase A would evaluate
+                # (the incremental loop's evaluation count, round granularity
+                # aside).  marched - live = the tail a 2-round phase A skips.
+                "num_live": jnp.sum(
+                    included & sb.valid, dtype=jnp.int32
+                ),
             }
 
         return render_chunk
@@ -558,7 +565,10 @@ def make_two_phase_renderer(
 
             def per_device(params, occ, bbox, origins, dirs):
                 out = local(params, occ, bbox, origins, dirs)
-                for k in ("num_points", "num_marched", "num_cand", "num_sig"):
+                for k in (
+                    "num_points", "num_marched", "num_cand", "num_sig",
+                    "num_live",
+                ):
                     out[k] = jax.lax.psum(out[k], "data")
                 return out
 
@@ -575,6 +585,7 @@ def make_two_phase_renderer(
                     "num_marched": P(),
                     "num_cand": P(),
                     "num_sig": P(),
+                    "num_live": P(),
                 },
                 check_vma=False,
             )
@@ -1120,8 +1131,9 @@ class Renderer:
             # Device-side sum: chunks dispatch back-to-back with no host
             # fetch between them (each fetch is a full tunnel round trip).
             out["num_points"] = sum(p["num_points"] for p in pieces)
-            if all("num_cand" in p for p in pieces):  # budgeted chunks only
-                out["num_cand"] = sum(p["num_cand"] for p in pieces)
+            for k in ("num_cand", "num_marched", "num_sig", "num_live"):
+                if all(k in p for p in pieces):  # mode-dependent counters
+                    out[k] = sum(p[k] for p in pieces)
 
         output.update(out)
         return output

@@ -116,7 +116,8 @@ def main():
             for c in (int(x) for x in args.chunks.split(","))
         ]
     print(f"{'mode':>12} {'bucket':>7} {'round':>6} {'chunk':>7} "
-          f"{'ms/frame':>10} {'FPS':>7} {'Msamples':>9}")
+          f"{'ms/frame':>10} {'FPS':>7} {'Msamples':>9} {'Mmarched':>9} "
+          f"{'Mlive':>7} {'Msig':>6}")
     results = []
     for mode, bucket, rnd, chunk in combos:
         settings = RenderSettings(
@@ -161,8 +162,14 @@ def main():
                 npts = int(out["num_points"])
                 ts.append(time.perf_counter() - t0)
             ms = float(np.median(ts)) * 1e3
+            extra = ""
+            for k, wd in (("num_marched", 9), ("num_live", 7), ("num_sig", 6)):
+                v = out.get(k)
+                extra += f" {'-' * 1:>{wd}}" if v is None else (
+                    f" {int(v) / 1e6:>{wd}.1f}"
+                )
             print(f"{mode:>12} {bucket:>7} {rnd:>6} {chunk:>7} {ms:>10.0f} "
-                  f"{1e3 / ms:>7.3f} {npts / 1e6:>9.1f}", flush=True)
+                  f"{1e3 / ms:>7.3f} {npts / 1e6:>9.1f}{extra}", flush=True)
             results.append((mode, bucket, rnd, chunk, ms))
         except Exception as e:  # OOM etc: report and continue
             print(f"{mode:>12} {bucket:>7} {rnd:>6} {chunk:>7}   "
