@@ -235,6 +235,9 @@ def bench_render(work: Path, data_cfg: Path, ckpt: Path, out_w=1008, out_h=756):
         max_samples_per_ray=render_cfg.max_samples_per_ray,
         max_budget_samples=render_cfg.max_budget_samples,
         infer_bucket=int(os.environ.get("NERFSTYLE_INFER_BUCKET", "512")),
+        infer_two_phase=(
+            os.environ.get("NERFSTYLE_RENDER_MODE", "two_phase") != "incremental"
+        ),
     )
     renderer = Renderer(
         field_spec, train_set.bbox, settings, intr, float(dataset_cfg.bound),
@@ -261,7 +264,12 @@ def bench_render(work: Path, data_cfg: Path, ckpt: Path, out_w=1008, out_h=756):
         _force(out["rgb_map"][0])
         frames += 1
     dt = time.perf_counter() - t0
-    return frames / dt if dt > 0 else 0.0, (intr.w, intr.h)
+    counters = {
+        k: int(out[k]) for k in ("num_marched", "num_live", "num_sig")
+        if k in out
+    }
+    counters["mode"] = "two_phase" if settings.infer_two_phase else "incremental"
+    return frames / dt if dt > 0 else 0.0, (intr.w, intr.h), counters
 
 
 def main():
@@ -339,9 +347,10 @@ def main():
         try:
             dims = os.environ.get("NERFSTYLE_BENCH_RENDER_DIMS", "1008x756")
             rw, rh = (int(v) for v in dims.split("x"))
-            fps, (w, h) = bench_render(work, data_cfg, ckpt, out_w=rw, out_h=rh)
+            fps, (w, h), rc = bench_render(work, data_cfg, ckpt, out_w=rw, out_h=rh)
             result[f"render_fps_{w}x{h}"] = round(fps, 4)
             result["render_vs_target"] = round(fps / RENDER_TARGET_FPS, 4)
+            result["render_counters"] = rc
         except Exception as e:
             result["render_error"] = str(e)[:200]
 

@@ -471,6 +471,7 @@ class StyleTrainer(Trainer):
         bitfield = self.renderer.occ_field
 
         t0 = time.time()
+        sig_bucket_at_entry = self._sig_bucket
         pieces = [None] * n_chunks
         todo = list(range(n_chunks))
         for _ in range(len(_BUDGET_BUCKETS) + 8):  # ladders are finite
@@ -552,6 +553,17 @@ class StyleTrainer(Trainer):
             pose_idx, n_sig, n_sig / hw, self._sig_bucket, drop_max,
             time.time() - t0,
         )
+        if self._sig_bucket != sig_bucket_at_entry and self._geom_cache:
+            # The fused step (and the forward fn) compile per stream size S =
+            # rays * sig_bucket: caches built at the old bucket would each
+            # keep their own S alive and force one more multi-minute compile
+            # apiece.  Evict them — a rebuild at the settled bucket is
+            # seconds; they rebuild on their next visit.
+            self.logger.info(
+                "sig bucket grew %d -> %d; evicting %d stale pose caches",
+                sig_bucket_at_entry, self._sig_bucket, len(self._geom_cache),
+            )
+            self._geom_cache.clear()
         self._geom_cache[pose_idx] = cache
         return cache
 
