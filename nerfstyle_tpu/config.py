@@ -564,6 +564,13 @@ class TrainConfig(Config):
     HBM (~120 MB at 378x504 with 32 significant samples/ray); bound this on
     datasets with many training views."""
 
+    style_geom_cache_bytes: float = 4e9
+    """Byte-based LRU bound on the frozen-geometry device cache (applies with
+    style_geom_cache_max_poses; whichever binds first).  Protects HBM when
+    the recon checkpoint is under-trained: in a foggy field nearly every
+    marched sample is weight-significant, so a pose cache can reach ~1 GB and
+    an unbounded cache would OOM the chip.  0 = unbounded."""
+
     style_geom_cache_eps: float = 1e-4
     """Weight threshold of the frozen-geometry cache: samples whose
     compositing weight is <= eps are dropped from the cached stream.  The

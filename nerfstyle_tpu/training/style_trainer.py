@@ -567,6 +567,33 @@ class StyleTrainer(Trainer):
         self._geom_cache[pose_idx] = cache
         return cache
 
+    @staticmethod
+    def _geom_cache_nbytes(cache: Dict) -> int:
+        return sum(
+            v.nbytes for v in cache.values() if hasattr(v, "nbytes")
+        )
+
+    def _evict_geom_caches(self, keep: int) -> None:
+        """LRU-evict pose caches beyond the count/byte bounds (never the
+        pose in use).  Device memory frees by refcount."""
+        cap = self.train_cfg.style_geom_cache_max_poses
+        max_bytes = float(self.train_cfg.style_geom_cache_bytes)
+
+        def over() -> bool:
+            if cap > 0 and len(self._geom_cache) > cap:
+                return True
+            if max_bytes > 0 and len(self._geom_cache) > 1:
+                total = sum(
+                    self._geom_cache_nbytes(c)
+                    for c in self._geom_cache.values()
+                )
+                return total > max_bytes
+            return False
+
+        while over():
+            victim = next(k for k in self._geom_cache if k != keep)
+            del self._geom_cache[victim]
+
     def _color_channels(self, params, cache_xyz, cache_dirs=None):
         """StyleTCNerf color-branch channels (style_nerf.py:129-142) for a
         cached sample stream: [S, 3+K].  Pointwise in the samples, so it
@@ -807,10 +834,7 @@ class StyleTrainer(Trainer):
             # Refresh LRU position (dicts preserve insertion order).
             del self._geom_cache[pose_idx]
             self._geom_cache[pose_idx] = cache
-        cap = self.train_cfg.style_geom_cache_max_poses
-        while cap > 0 and len(self._geom_cache) > cap:
-            evicted = next(iter(self._geom_cache))
-            del self._geom_cache[evicted]  # freed on device by refcount
+        self._evict_geom_caches(keep=pose_idx)
         S = cache["xyz"].shape[0]
 
         # First call computes the Hungarian matching on host (loss.py:169-184)
