@@ -200,7 +200,9 @@ class VGGFeatureExtractor:
         used_layers = self.layers[: self._max_block + 1]
         weights_path = _find_weights(self.kind)
         if weights_path is not None:
-            self.params = load_torch_weights(weights_path, used_blocks, used_layers)
+            self.params = load_torch_weights(
+                weights_path, used_blocks, used_layers, kind=self.kind
+            )
             logger.info("Loaded %s weights from %s", self.kind, weights_path)
         else:
             self.params = _init_params(used_blocks)

@@ -261,10 +261,19 @@ def make_incremental_renderer(
         plan_c = dataclasses.replace(
             base_plan, num_rays=chunk, budget=budget, window_budget=wb
         )
-        # Termination bound: each iteration every selected alive ray either
-        # consumes >= 1 precomputed sample or dies; at most ceil(chunk / b)
-        # ray groups interleave.
-        max_iters = (-(-spr // s) + 1) * (-(-chunk // b))
+        # Termination bound.  Each iteration selects up to ``b`` alive rays
+        # and each selected ray consumes ``s`` samples or dies, so ray i
+        # needs ceil(count_i / s) selections.  While >= b rays are alive the
+        # loop retires b selections/iter; once < b remain, every survivor is
+        # selected each iter, so the tail costs at most the worst single
+        # ray's remaining selections.  count_i is bounded by the marcher's
+        # per-ray cap (max_steps), NOT by the mean-demand bucket ``spr`` —
+        # a skewed chunk can hold one max_steps-deep ray within the total
+        # budget, so a bound derived from spr alone could exit mid-composite
+        # and silently truncate that pixel.
+        total_slots = -(-budget // s) + chunk  # sum ceil(count_i/s) upper bd
+        worst_ray = -(-min(base_plan.max_steps, budget) // s)
+        max_iters = -(-total_slots // b) + worst_ray
 
         def render_chunk(params, occ, bbox, origins, dirs):
             rays = RayBundle(origins, dirs)
@@ -841,11 +850,16 @@ class Renderer:
         retarget immediately — compiled fns are cached per bucket."""
         if num_points <= 0 or num_rays <= 0:
             return
-        self._last_num_rays = num_rays
-        self._mean_count_host = int(num_points)
-        self._budget_bucket = bucket_for(
-            num_points * 1.25 / num_rays, self._effective_cap(num_rays)
-        )
+        # The caller may observe a FULL FRAME (style pass 1 reports the
+        # frame-total point count), but rendering dispatches at most
+        # infer_chunk rays per jitted call — the HBM budget cap applies to
+        # one dispatch, not the frame (a frame-sized cap at 378x504 would
+        # bound the bucket ~23x too low and silently truncate every chunk).
+        cap_rays = min(num_rays, self.settings.infer_chunk)
+        per_ray = num_points * 1.25 / num_rays
+        self._last_num_rays = cap_rays
+        self._mean_count_host = int(num_points * cap_rays / num_rays)
+        self._budget_bucket = bucket_for(per_ray, self._effective_cap(cap_rays))
         if num_cand is not None:
             self._retune_window_bucket(int(num_cand), num_rays)
 

@@ -112,6 +112,37 @@ class TestIncrementalRender:
         )
 
 
+    def test_skewed_deep_ray_not_cut_by_loop_bound(self, setup):
+        """The while_loop termination bound must cover the marcher's per-ray
+        cap (max_steps), not just the mean-demand bucket: a chunk whose total
+        fits the budget can still hold ONE max_steps-deep ray.  With
+        samples_per_ray=8 (mean bucket) and one ray marching ~max_steps
+        samples through fully-occupied space, a bound derived from the bucket
+        alone exits mid-composite and silently truncates that pixel."""
+        spec, params, plan, bbox, _bits, _sd, _rays = setup
+        bits = jnp.ones((plan.cascade * plan.grid_size**3,), bool)
+        sd = skipdist_from_bitfield(bits, plan.grid_size)
+        # Ray 0 traverses the volume end to end; the rest miss the AABB
+        # entirely (0 samples), so total demand fits budget = 32 * 8.
+        o = np.tile(np.array([[0.0, 0.0, 10.0]], np.float32), (32, 1))
+        d = np.tile(np.array([[0.0, 0.0, 1.0]], np.float32), (32, 1))
+        o[0] = (-0.9, -0.9, -0.9)
+        d[0] = (1.0, 1.0, 1.0)
+        rays = make_rays(jnp.asarray(o), jnp.asarray(d))
+        full = render_rays(
+            spec, plan, params, OccField(bits, sd), bbox, rays,
+            t_thresh=1e-4, density_scale=1.0,
+        )
+        render_inc = make_incremental_renderer(
+            spec, plan, 1e-4, 1.0, round_size=8, bucket=8, samples_per_ray=8
+        )
+        inc = render_inc(params, OccField(bits, sd), bbox, rays, 6)
+        np.testing.assert_allclose(
+            np.asarray(full["rgb_map"]), np.asarray(inc["rgb_map"]),
+            rtol=2e-4, atol=2e-5,
+        )
+
+
 class TestTwoPhaseRender:
     """Two-phase inference (density on all, color on weight-significant
     samples) vs the budgeted pipeline — see make_two_phase_renderer."""
