@@ -64,6 +64,12 @@ def bench_train(work: Path, scene: Path, data_cfg: Path):
         # training diverged at ~1.2k iters under a 64 cap).  The reference
         # sizes its buffer dynamically with NO cap (raymarching.py:233-236).
         "--max_samples_per_ray", "1024",
+        # Fixed-sample-budget training with an adaptive ray count: the
+        # production TPU mode.  Demand * 1.25 always fits the budget (the ray
+        # count shrinks through the pre-pruning transient and grows as
+        # occupancy prunes), so per-ray truncation is impossible by
+        # construction and the dominant compiled shape is a run constant.
+        "--adaptive_batch",
         # Active free-space suppression (the reference's own lever,
         # /root/reference/config.py:419-426 + trainers/base.py:285-290):
         # keeps the few-view synthetic scene out of the fog-runaway regime
@@ -75,7 +81,6 @@ def bench_train(work: Path, scene: Path, data_cfg: Path):
         "--sparsity_samples", "8192",
     ] + os.environ.get("NERFSTYLE_BENCH_EXTRA_ARGS", "").split()
     trainer = Trainer(cfg, nargs, assume_yes=True)
-    num_rays = trainer.train_cfg.num_rays_per_batch
 
     # Warmup must cover every graph the timed loop hits: the train step per
     # budget bucket (the descent 256 -> 96 -> 48 settles by ~iter 80-100 with
@@ -90,15 +95,17 @@ def bench_train(work: Path, scene: Path, data_cfg: Path):
         trainer.run_iter()
     _force(trainer.params["x_density_embedder"][0, 0])
 
+    rays0 = trainer.rays_trained
     t0 = time.perf_counter()
     for _ in range(iters):
         trainer.run_iter()
     _force(trainer.params["x_density_embedder"][0, 0])
     dt = time.perf_counter() - t0
+    rays_done = trainer.rays_trained - rays0
 
     trainer.save_ckpt()
     ckpt = sorted(logs.glob("*.ckpt"))[-1]
-    return num_rays * iters / dt, ckpt
+    return rays_done / dt, ckpt
 
 
 def bench_style(work: Path, data_cfg: Path, ckpt: Path):

@@ -512,6 +512,27 @@ class TrainConfig(Config):
     ema_decay: Optional[float] = 0.95
     """EMA decay rate. Leave blank if not using EMA."""
 
+    adaptive_batch: bool = False
+    """TPU-specific: train with a FIXED total sample budget and an adaptive
+    ray count instead of a fixed ray count with an adaptive sample budget.
+    The compiled step's dominant shape (the compacted sample stream) becomes
+    a run constant, the ray count rides a power-of-two ladder sized so that
+    demand * 1.25 always fits the budget, and per-ray truncation becomes
+    impossible: at the ladder minimum (256 rays) even max_steps samples on
+    every ray fit a >=262k budget.  The reference instead sizes its point
+    buffer at mean_count and silently drops overflow rays
+    (raymarching.py:233-236)."""
+
+    adaptive_batch_max_rays: int = 32768
+    """Ray-count ladder ceiling under adaptive_batch.  When free-space
+    pruning drives per-ray demand down, the ray count grows up to this bound
+    to keep the (fixed) sample budget utilized."""
+
+    adaptive_batch_budget: int = 0
+    """Total compacted-sample budget per step under adaptive_batch; 0 uses
+    the renderer's max_budget_samples (the single-chip HBM ceiling).  Must be
+    divisible by the device-mesh size."""
+
     sparsity_lambda: float = 0.0
     """Sparsity loss multiplier."""
 

@@ -44,6 +44,7 @@ from ..ops.occupancy import (
     occupancy_update_random,
     update_mean_count,
 )
+from .pipeline import eval_composite
 
 
 @dataclass(frozen=True)
@@ -114,7 +115,7 @@ _BUDGET_BUCKETS = (4, 8, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512, 768, 1
 # tuned from SampleBatch.num_cand the same way the sample budget tracks
 # mean_count.  Start value = max (effectively the full domain — safe: the
 # march clamps window_budget to num_rays * ceil(t_lattice / stride)).
-_WINDOW_BUCKETS = (16, 32, 48, 64, 96, 128, 192, 256, 384, 512)
+_WINDOW_BUCKETS = (16, 32, 48, 64, 96, 128, 192, 256, 384, 512, 768, 1024)
 
 
 def _debounced_jump(current: int, want: int, streak: dict) -> int:
@@ -161,6 +162,7 @@ def render_rays(
     t_thresh: float,
     density_scale: float,
     compute_dtype=jnp.float32,
+    sig_budget: Optional[int] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Pure render pipeline for one ray batch (differentiable w.r.t. params).
 
@@ -168,16 +170,18 @@ def render_rays(
     ``classes`` [N,K], ``weights_sum`` [N], ``num_points`` scalar.
     Semantics: render_train (renderer.py:196-235) == render_test
     (renderer.py:237-293) math.
+
+    ``sig_budget`` enables the two-phase evaluation (density-only keep mask,
+    full field on the kept prefix only — exact; see render/pipeline.py) with
+    the given kept-stream capacity; ``num_sig`` then reports exact demand.
     """
     nears, fars = near_far_from_aabb(rays.origins, rays.dirs, plan.aabb, plan.min_near)
     samples = march_rays(plan, bitfield, rays, nears, fars)
 
-    rgbs, sigmas = field_apply(
-        field_spec, params, bbox, samples.xyz, samples.dirs, compute_dtype=compute_dtype
+    out, num_sig = eval_composite(
+        field_spec, params, bbox, samples, plan.num_rays, plan.dt, t_thresh,
+        density_scale, compute_dtype, sig_budget,
     )
-    sigmas = sigmas * density_scale
-
-    out = composite_rays(sigmas, rgbs, samples, plan.num_rays, plan.dt, t_thresh)
     classes = out.image[:, 3:]
     rgb = out.image[:, :3]
     # White background blend (renderer.py:232) applies to rgb only.
@@ -193,6 +197,7 @@ def render_rays(
         "weights_sum": out.weights_sum,
         "num_points": samples.num_kept,
         "num_cand": samples.num_cand,
+        "num_sig": num_sig,
     }
 
 
@@ -684,6 +689,13 @@ class Renderer:
         self._last_num_cand = None  # device scalar from the latest batch
         self._bucket_debounce: dict = {}
         self._window_debounce: dict = {}
+        # When False, the train-step sample budget is owned externally
+        # (adaptive ray batching fixes it and adapts the ray count instead);
+        # _retune_bucket then only maintains _budget_bucket as a per-ray
+        # demand summary for downstream consumers (checkpoint seed for the
+        # style/render stages) and never warns about truncation — the
+        # external controller guarantees demand fits the budget.
+        self.autotune_budget = True
 
         self._render_jit_cache = {}
 
@@ -773,6 +785,17 @@ class Renderer:
         # buffer at mean_count exactly and drops overflow,
         # raymarching.py:233-236 — 1.25x is strictly more generous).
         per_ray = self._mean_count_host * 1.25 / max(1, self._last_num_rays)
+        if not self.autotune_budget:
+            # Adaptive ray batching owns the budget; keep the bucket as a
+            # demand summary only (seeds style/render via the checkpoint).
+            self._budget_bucket = bucket_for(
+                per_ray, self.settings.max_samples_per_ray
+            )
+            if self._last_num_cand is not None:
+                self._retune_window_bucket(
+                    int(self._last_num_cand), self._last_num_rays
+                )
+            return
         cap = self._effective_cap(self._last_num_rays)
         if (
             per_ray > cap

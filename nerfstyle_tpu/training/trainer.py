@@ -273,6 +273,35 @@ class Trainer:
         # -- device-resident dataset (TPU-first; see module docstring) --
         self._stage_train_data()
         self._train_step_cache: Dict = {}
+
+        # -- adaptive ray batching (fixed sample budget; config.py) --
+        # Ray-count ladder: powers of two so mesh shards stay even and the
+        # compile count is bounded.  Demand estimates come from the same
+        # mean_count EMA the bucket ladder uses, synced at occupancy updates.
+        self.rays_trained = 0
+        tc = self.train_cfg
+        self._adaptive_budget = 0
+        if tc.adaptive_batch:
+            self._adaptive_budget = (
+                tc.adaptive_batch_budget or self.settings.max_budget_samples
+            )
+            n_dev = self.mesh.devices.size if self.mesh is not None else 1
+            if self._adaptive_budget % n_dev:
+                raise ValueError(
+                    f"adaptive_batch budget {self._adaptive_budget} must "
+                    f"divide the {n_dev}-device mesh"
+                )
+            ladder, v = [], 256
+            while v <= max(256, tc.adaptive_batch_max_rays):
+                ladder.append(v)
+                v *= 2
+            self._ray_ladder = tuple(ladder)
+            self._adaptive_rays = min(
+                max(256, tc.num_rays_per_batch), self._ray_ladder[-1]
+            )
+            self._ray_grow_streak = 0
+            # The renderer's budget bucket becomes a demand summary only.
+            self.renderer.autotune_budget = False
         # Host-side RNG for frame selection: keeps the hot loop free of
         # blocking device->host fetches (a per-iter int() fetch costs a full
         # tunnel round trip).
@@ -358,7 +387,7 @@ class Trainer:
         settings = self.settings
         bbox = self.train_set.bbox
         tc = self.train_cfg
-        num_rays = tc.num_rays_per_batch
+        num_rays = plan.num_rays
         cam_dirs_np, ys_np, xs_np = camera_dir_grid(
             self.train_set.intr, settings.flip_camera, precrop
         )
@@ -491,14 +520,69 @@ class Trainer:
             if self.iter_ctr < self.train_cfg.precrop_iterations
             else 1.0
         )
-        plan = self.renderer.make_plan(self.train_cfg.num_rays_per_batch)
+        if self.train_cfg.adaptive_batch:
+            plan = self.renderer.make_plan(
+                self._adaptive_rays, budget=self._adaptive_budget
+            )
+        else:
+            plan = self.renderer.make_plan(self.train_cfg.num_rays_per_batch)
         # window_budget MUST key the cache: a stale compiled step would keep
         # marching with an outgrown window capacity — the silent-starvation
-        # loop the window-bucket tuning exists to prevent.
-        cache_key = (plan.budget, plan.window_budget, precrop)
+        # loop the window-bucket tuning exists to prevent.  num_rays keys it
+        # too: under adaptive_batch the budget is constant while the ray
+        # count moves.
+        cache_key = (plan.num_rays, plan.budget, plan.window_budget, precrop)
         if cache_key not in self._train_step_cache:
             self._train_step_cache[cache_key] = self._build_train_step(plan, precrop)
         return self._train_step_cache[cache_key]
+
+    def _retune_adaptive_rays(self) -> None:
+        """Fit the ray count to the fixed sample budget (adaptive_batch).
+
+        Policy mirrors the bucket ladder's (_debounced_jump), with the
+        directions swapped: demand RISING means too many rays would overflow
+        the budget and truncate, so SHRINK immediately; demand falling means
+        idle budget, so GROW only after two consecutive retunes agree (each
+        ladder value is a separate XLA compile of the train step).
+        """
+        r = self.renderer
+        if r._mean_count_host <= 0:
+            return
+        demand = r._mean_count_host / max(1, r._last_num_rays)
+        want = int(self._adaptive_budget / (1.25 * max(demand, 1.0)))
+        cand = self._ray_ladder[0]
+        for v in self._ray_ladder:
+            if v <= want:
+                cand = v
+        cur = self._adaptive_rays
+        new = cur
+        if cand < cur:
+            new = cand
+            self._ray_grow_streak = 0
+        elif cand > cur:
+            self._ray_grow_streak += 1
+            if self._ray_grow_streak >= 2:
+                new = cand
+                self._ray_grow_streak = 0
+        else:
+            self._ray_grow_streak = 0
+        if new != cur:
+            # mean_count is an EMA of per-BATCH compacted counts; rescale it
+            # to the new batch size so per-ray demand estimates stay
+            # consistent across the move.
+            scale = new / cur
+            r.occ_state = r.occ_state._replace(
+                mean_count=(
+                    r.occ_state.mean_count.astype(jnp.float32) * scale
+                ).astype(jnp.int32)
+            )
+            r._mean_count_host = int(r._mean_count_host * scale)
+            r._last_num_rays = new
+            self._adaptive_rays = new
+            self.logger.info(
+                "Adaptive batch: %d -> %d rays (demand %.1f samples/ray, "
+                "budget %d)", cur, new, demand, self._adaptive_budget,
+            )
 
     # ------------------------------------------------------------------
     # loop (base.py:396-449)
@@ -507,7 +591,11 @@ class Trainer:
     def run_iter(self):
         self.time0 = time.time()
         self._occ_key, k_occ = jax.random.split(self._occ_key)
-        self.renderer.maybe_update_state(self.params, k_occ)
+        if self.renderer.maybe_update_state(self.params, k_occ):
+            # mean_count was just host-synced; retarget the ray count while
+            # the estimate is fresh (no extra device fetch).
+            if self.train_cfg.adaptive_batch:
+                self._retune_adaptive_rays()
 
         self._data_key, k_step = jax.random.split(self._data_key)
         frame = int(self._frame_rng.integers(0, len(self.train_set)))
@@ -533,9 +621,13 @@ class Trainer:
             self._poses_dev[frame],
             k_step,
         )
-        self.renderer.note_batch_points(
-            num_points, self.train_cfg.num_rays_per_batch, num_cand
+        batch_rays = (
+            self._adaptive_rays
+            if self.train_cfg.adaptive_batch
+            else self.train_cfg.num_rays_per_batch
         )
+        self.renderer.note_batch_points(num_points, batch_rays, num_cand)
+        self.rays_trained += batch_rays
 
         self.iter_ctr += 1
         self.time1 = time.time()
