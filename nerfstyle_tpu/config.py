@@ -533,6 +533,17 @@ class TrainConfig(Config):
     the renderer's max_budget_samples (the single-chip HBM ceiling).  Must be
     divisible by the device-mesh size."""
 
+    two_phase_train: bool = True
+    """TPU-specific: two-phase training evaluation.  The masked scan
+    compositor gives samples with entering transmittance < t_thresh weight
+    AND gradient exactly zero (the reference's in-kernel training early-break,
+    raymarching.cu:861-862, makes the same samples dead weight but still
+    evaluates the network on them) — so phase A runs a density-only forward
+    (no autodiff residuals) over the marched stream to find the kept prefix,
+    and the full differentiable field runs on that compacted prefix only.
+    EXACT, not approximate (tests/test_two_phase_train.py); the kept capacity
+    rides its own bucket ladder on an exact demand counter."""
+
     sparsity_lambda: float = 0.0
     """Sparsity loss multiplier."""
 

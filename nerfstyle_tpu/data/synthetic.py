@@ -45,7 +45,21 @@ _LIGHT = np.array([0.5, -0.7, 0.6], dtype=np.float32)
 # wall, raymarching.cu's T<1e-4 early-out kills the tail).  The room gives
 # every pixel real geometry: early termination saturates, occupancy stays a
 # thin 2D shell, and few-view fog has nothing ambiguous to grow in.
-_ROOM_EXT = np.array([1.8, 1.8, 1.5], dtype=np.float32)  # half-extents
+#
+# The walls COINCIDE with the scene AABB (bound 2.0 in cfgs + bench): volume
+# the training rays can never see keeps its init-level density forever — it
+# cannot receive gradient (T == 0 behind an opaque wall) and the occupancy
+# sweep keeps re-measuring the same density — so any exterior margin becomes
+# permanently-occupied fog that every ray must march through.  Measured with
+# the old inset walls (1.8/1.5 in a bound-2.0 box, 39% exterior volume):
+# occupancy plateaued at ~26% and demand at ~300 samples/ray after 1.6k
+# iters.  A user sets `bound` to fit the scene; the generator now does too.
+_ROOM_EXT = np.array([2.0, 2.0, 2.0], dtype=np.float32)  # half-extents
+
+# Bumped whenever the generated geometry changes: generate_scene() embeds it
+# in meta.npz and regenerates any cached scene with a different version, so
+# stale /tmp scene caches can never silently feed a bench.
+SCENE_FORMAT_VERSION = 2
 _WALL_COLORS = np.array(
     [
         [0.85, 0.55, 0.45],  # +x
@@ -159,8 +173,14 @@ def generate_scene(
     regime (reference headline scene: LLFF room, enclosed).
     """
     root = Path(root)
-    if (root / "meta.npz").exists():
-        return
+    meta_path = root / "meta.npz"
+    if meta_path.exists():
+        try:
+            cached = int(np.load(meta_path).get("scene_version", 1))
+        except Exception:
+            cached = 0
+        if cached == SCENE_FORMAT_VERSION:
+            return
     root.mkdir(parents=True, exist_ok=True)
     if cam_radius is None:
         cam_radius = 1.55 if room else 2.8
@@ -198,6 +218,7 @@ def generate_scene(
         root / "meta.npz",
         h=h, w=w, fx=fx, fy=fy, cx=cx, cy=cy,
         train_poses=tr_poses, test_poses=te_poses,
+        scene_version=SCENE_FORMAT_VERSION,
     )
     np.savez_compressed(root / "train_images.npz", images=tr_images, segs=tr_segs)
     np.savez_compressed(root / "test_images.npz", images=te_images, segs=te_segs)

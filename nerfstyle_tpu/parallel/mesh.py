@@ -43,6 +43,7 @@ from ..models.fields import FieldSpec, field_apply
 from ..ops.compositing import composite_rays
 from ..ops.aabb import near_far_from_aabb
 from ..ops.marching import MarchPlan, march_rays
+from ..render.pipeline import eval_composite
 
 
 shard_map = _shard_map
@@ -83,6 +84,7 @@ def build_sharded_loss_terms(
     with_class: bool = False,
     sparsity_exp_coeff: float = 0.0,
     field_density_fn: Optional[Callable] = None,
+    sig_budget: Optional[int] = None,
 ) -> Callable:
     """Sharded per-ray loss SUMS for the production trainer.
 
@@ -96,19 +98,28 @@ def build_sharded_loss_terms(
     Rays, targets and sparsity points shard on the batch axis; params and the
     occupancy bitfield replicate (SURVEY.md section 2.3: DP-over-rays is the
     complete strategy for this model family).
+
+    ``sig_budget`` (GLOBAL kept-sample capacity, must divide the device
+    count) switches each shard to the exact two-phase evaluation
+    (render/pipeline.py); the psum-reduced ``num_sig`` term reports demand.
     """
     n_dev = mesh.devices.size
     plan_l = local_plan(plan_global, n_dev)
+    sig_l = None
+    if sig_budget is not None:
+        assert sig_budget % n_dev == 0
+        sig_l = sig_budget // n_dev
 
     def shard_fn(params, bitfield, bbox, origins, dirs, targets, sparse_pts):
-        rgb, classes, _ws, n_kept, n_cand = _render_shard(
+        rgb, classes, _ws, n_kept, n_cand, n_sig = _render_shard(
             spec, plan_l, t_thresh, density_scale, compute_dtype,
-            params, bitfield, bbox, origins, dirs,
+            params, bitfield, bbox, origins, dirs, sig_budget=sig_l,
         )
         terms = {
             "sq": jnp.sum((rgb - targets[:, :3]) ** 2),
             "num_points": n_kept,
             "num_cand": n_cand,
+            "num_sig": n_sig,
         }
         if with_class and spec.class_dim > 0:
             labels = targets[:, 3].astype(jnp.int32)
@@ -152,7 +163,7 @@ def build_sharded_cotangent_sum(
     plan_l = local_plan(plan_global, n_dev)
 
     def shard_fn(params, bitfield, bbox, origins, dirs, cot):
-        rgb, _classes, _ws, _nk, _nc = _render_shard(
+        rgb, _classes, _ws, _nk, _nc, _ns = _render_shard(
             spec, plan_l, t_thresh, density_scale, compute_dtype,
             params, bitfield, bbox, origins, dirs,
         )
@@ -207,19 +218,25 @@ def _render_shard(
     bbox: BBox,
     origins,
     dirs,
+    sig_budget: Optional[int] = None,
 ):
-    """Per-device render of a local ray shard; returns local outputs."""
+    """Per-device render of a local ray shard; returns local outputs.
+
+    ``sig_budget`` (LOCAL kept capacity) selects the exact two-phase
+    evaluation — density-only keep mask on the marched stream, full field on
+    the kept prefix only (render/pipeline.py)."""
     rays = RayBundle(origins, dirs)
     nears, fars = near_far_from_aabb(origins, dirs, plan_local.aabb, plan_local.min_near)
     samples = march_rays(plan_local, bitfield, rays, nears, fars)
-    rgbs, sigmas = field_apply(
-        spec, params, bbox, samples.xyz, samples.dirs, compute_dtype=compute_dtype
-    )
-    out = composite_rays(
-        sigmas * density_scale, rgbs, samples, plan_local.num_rays, plan_local.dt, t_thresh
+    out, num_sig = eval_composite(
+        spec, params, bbox, samples, plan_local.num_rays, plan_local.dt,
+        t_thresh, density_scale, compute_dtype, sig_budget,
     )
     rgb = out.image[:, :3] + (1.0 - out.weights_sum)[:, None]
-    return rgb, out.image[:, 3:], out.weights_sum, samples.num_kept, samples.num_cand
+    return (
+        rgb, out.image[:, 3:], out.weights_sum,
+        samples.num_kept, samples.num_cand, num_sig,
+    )
 
 
 def build_sharded_render_loss(
@@ -248,7 +265,7 @@ def build_sharded_render_loss(
     )
 
     def shard_fn(params, bitfield, bbox, origins, dirs, targets):
-        rgb, classes, _ws, _nk, _nc = _render_shard(
+        rgb, classes, _ws, _nk, _nc, _ns = _render_shard(
             spec, plan_local, t_thresh, density_scale, compute_dtype,
             params, bitfield, bbox, origins, dirs,
         )

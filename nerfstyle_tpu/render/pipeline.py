@@ -81,7 +81,22 @@ def eval_composite(
         out = composite_rays(
             sigmas * density_scale, rgbs, samples, num_rays, dt, t_thresh
         )
-        return out, samples.num_kept
+        # Exact kept-prefix demand, from the sigmas already in hand (XLA
+        # CSEs the cumsum with composite_rays' internal one): lets the
+        # trainer size the two-phase capacity from the FIRST retune instead
+        # of paying a full-capacity two-phase compile to discover it.
+        sdt = jnp.where(
+            samples.valid,
+            jnp.minimum(
+                jax.lax.stop_gradient(sigmas) * density_scale * dt, 100.0
+            ),
+            0.0,
+        )
+        excl = segment_exclusive_cumsum(sdt, samples.ray_id, num_rays)
+        num_sig = jnp.sum(
+            (jnp.exp(-excl) >= t_thresh) & samples.valid, dtype=jnp.int32
+        )
+        return out, num_sig
 
     # ---- phase A: density-only keep mask, no gradient, no residuals ----
     sig_a = field_density(

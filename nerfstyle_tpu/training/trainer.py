@@ -302,6 +302,15 @@ class Trainer:
             self._ray_grow_streak = 0
             # The renderer's budget bucket becomes a demand summary only.
             self.renderer.autotune_budget = False
+
+        # -- two-phase training (config.py two_phase_train) --
+        # Kept-prefix capacity ladder (samples/ray).  None = "equal to the
+        # march budget" (no truncation possible: kept <= marched); the first
+        # demand fetch at an occupancy sync retunes it downward.
+        self._sig_bucket_train: Optional[int] = None
+        self._sig_train_debounce: Dict = {}
+        self._last_num_sig = None  # device scalar from the latest step
+        self._last_sig_rays = 0  # ray count that step actually ran at
         # Host-side RNG for frame selection: keeps the hot loop free of
         # blocking device->host fetches (a per-iter int() fetch costs a full
         # tunnel round trip).
@@ -381,8 +390,13 @@ class Trainer:
     # jitted train step
     # ------------------------------------------------------------------
 
-    def _build_train_step(self, plan, precrop: float):
-        """Compile a train step for a given march plan + precrop window."""
+    def _build_train_step(self, plan, precrop: float, sig_budget=None):
+        """Compile a train step for a given march plan + precrop window.
+
+        ``sig_budget`` (total kept-sample capacity) selects the exact
+        two-phase evaluation — density-only keep mask over the marched
+        stream, full differentiable field on the kept prefix only
+        (render/pipeline.py)."""
         spec = self.field_spec
         settings = self.settings
         bbox = self.train_set.bbox
@@ -423,6 +437,7 @@ class Trainer:
                     tc.sparsity_exp_coeff if tc.sparsity_lambda > 0.0 else 0.0
                 ),
                 field_density_fn=_density_fn,
+                sig_budget=sig_budget,
             )
 
         def loss_fn(params, bitfield, image, pose, key):
@@ -451,6 +466,7 @@ class Trainer:
                 )
                 num_points = terms["num_points"]
                 num_cand = terms["num_cand"]
+                num_sig = terms["num_sig"]
                 mse = terms["sq"] / (3.0 * num_rays)
                 losses["mse"] = mse
                 losses["psnr"] = utils.compute_psnr(mse)
@@ -469,9 +485,11 @@ class Trainer:
                 out = render_rays(
                     spec, plan, params, bitfield, bbox, rays,
                     settings.t_thresh, settings.density_scale, dtype,
+                    sig_budget=sig_budget,
                 )
                 num_points = out["num_points"]
                 num_cand = out["num_cand"]
+                num_sig = out["num_sig"]
                 mse = mse_loss(out["rgb_map"], target[:, :3])
                 losses["mse"] = mse
                 losses["psnr"] = utils.compute_psnr(mse)
@@ -500,17 +518,22 @@ class Trainer:
                 total = total + wr
 
             losses["total"] = total
-            return total, (losses, num_points, num_cand)
+            return total, (losses, num_points, num_cand, num_sig)
 
         @jax.jit
         def step(params, opt_state, ema_state, bitfield, image, pose, key):
-            (_, (losses, num_points, num_cand)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(params, bitfield, image, pose, key)
+            (_, (losses, num_points, num_cand, num_sig)), grads = (
+                jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, bitfield, image, pose, key
+                )
+            )
             updates, opt_state = optim.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             ema_state = ema_update(ema_state, params, ema_decay)
-            return params, opt_state, ema_state, losses, num_points, num_cand
+            return (
+                params, opt_state, ema_state, losses,
+                num_points, num_cand, num_sig,
+            )
 
         return step
 
@@ -526,14 +549,31 @@ class Trainer:
             )
         else:
             plan = self.renderer.make_plan(self.train_cfg.num_rays_per_batch)
+        # Two-phase kept capacity: None (single-phase) until the first demand
+        # fetch — the single-phase step already reports exact num_sig, so the
+        # first retune jumps straight to the right bucket with no
+        # full-capacity two-phase compile in between.
+        sig_budget = None
+        if self.train_cfg.two_phase_train and self._sig_bucket_train is not None:
+            sig_budget = plan.num_rays * self._sig_bucket_train
+            if sig_budget >= plan.budget:
+                # No savings at this capacity: phase B would cover the whole
+                # march budget, so two-phase is pure phase-A overhead.  Stay
+                # single-phase (which still reports exact num_sig) until
+                # saturation actually drops the kept prefix below the budget.
+                sig_budget = None
         # window_budget MUST key the cache: a stale compiled step would keep
         # marching with an outgrown window capacity — the silent-starvation
         # loop the window-bucket tuning exists to prevent.  num_rays keys it
         # too: under adaptive_batch the budget is constant while the ray
-        # count moves.
-        cache_key = (plan.num_rays, plan.budget, plan.window_budget, precrop)
+        # count moves.  sig_budget keys the two-phase kept capacity.
+        cache_key = (
+            plan.num_rays, plan.budget, plan.window_budget, precrop, sig_budget
+        )
         if cache_key not in self._train_step_cache:
-            self._train_step_cache[cache_key] = self._build_train_step(plan, precrop)
+            self._train_step_cache[cache_key] = self._build_train_step(
+                plan, precrop, sig_budget
+            )
         return self._train_step_cache[cache_key]
 
     def _retune_adaptive_rays(self) -> None:
@@ -584,6 +624,40 @@ class Trainer:
                 "budget %d)", cur, new, demand, self._adaptive_budget,
             )
 
+    def _retune_sig_bucket(self) -> None:
+        """Fit the two-phase kept-prefix capacity to observed demand.
+
+        Same policy as the march-budget ladder (_debounced_jump: grow
+        immediately — a binding capacity truncates the most-saturated tail
+        samples — shrink after two consecutive below-current retunes).  The
+        demand counter is exact (pipeline.eval_composite's num_sig), fetched
+        here alongside the occupancy sync so the hot loop stays fetch-free.
+        """
+        if self._last_num_sig is None:
+            return
+        from ..render.renderer import _debounced_jump, bucket_for
+
+        # Divide by the ray count the measured step ACTUALLY ran at — an
+        # adaptive-batch retune immediately before this call may already have
+        # moved the CURRENT ray count (measured: a 4096->1024 move inflated
+        # the per-ray estimate 4x and pinned the bucket at the ladder max).
+        num_rays = max(1, self._last_sig_rays)
+        num_sig = int(jax.device_get(self._last_num_sig))
+        want = bucket_for(
+            num_sig * 1.25 / num_rays, self.settings.max_samples_per_ray
+        )
+        cur = self._sig_bucket_train
+        if cur is None:
+            self._sig_bucket_train = want
+            self.logger.info(
+                "Two-phase train: kept-prefix bucket %d/ray "
+                "(%.1f significant samples/ray)", want, num_sig / num_rays,
+            )
+            return
+        new = _debounced_jump(cur, want, self._sig_train_debounce)
+        if new != cur:
+            self._sig_bucket_train = new
+
     # ------------------------------------------------------------------
     # loop (base.py:396-449)
     # ------------------------------------------------------------------
@@ -596,6 +670,8 @@ class Trainer:
             # the estimate is fresh (no extra device fetch).
             if self.train_cfg.adaptive_batch:
                 self._retune_adaptive_rays()
+            if self.train_cfg.two_phase_train:
+                self._retune_sig_bucket()
 
         self._data_key, k_step = jax.random.split(self._data_key)
         frame = int(self._frame_rng.integers(0, len(self.train_set)))
@@ -608,6 +684,7 @@ class Trainer:
             losses,
             num_points,
             num_cand,
+            num_sig,
         ) = step_fn(
             self.params,
             self.opt_state,
@@ -627,6 +704,8 @@ class Trainer:
             else self.train_cfg.num_rays_per_batch
         )
         self.renderer.note_batch_points(num_points, batch_rays, num_cand)
+        self._last_num_sig = num_sig  # device scalar; fetched at retune
+        self._last_sig_rays = batch_rays  # the count num_sig was measured at
         self.rays_trained += batch_rays
 
         self.iter_ctr += 1

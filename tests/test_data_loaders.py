@@ -211,11 +211,16 @@ class TestSyntheticRoom:
         # No white-background pixel anywhere: walls/spheres cover everything.
         assert not np.any(np.all(imgs == 1.0, axis=-1))
         assert set(np.unique(segs)) == {0.0, 1.0, 2.0, 3.0}
-        # Cameras are inside the room and the room is inside bound 2.
+        # Cameras are inside the room; the walls COINCIDE with the bound-2
+        # AABB (any exterior margin would be permanently-unobservable volume
+        # that keeps its init density and never prunes — see synthetic.py).
         meta = np.load(root / "meta.npz")
         eyes = meta["train_poses"][:, :3, 3]
         assert np.all(np.abs(eyes) < _ROOM_EXT[None])
-        assert np.all(_ROOM_EXT < 2.0)
+        assert np.all(_ROOM_EXT == 2.0)
+        from nerfstyle_tpu.data.synthetic import SCENE_FORMAT_VERSION
+
+        assert int(meta["scene_version"]) == SCENE_FORMAT_VERSION
 
         # Direct tracer check from a point between sphere and wall: the -x
         # ray hits the central sphere, the +x ray the wall (seg 0).
@@ -223,6 +228,20 @@ class TestSyntheticRoom:
         rgb, seg = _trace(np.array([1.2, 0.0, 0.0], np.float32), dirs, room=True)
         assert seg[0] == 1.0 and seg[1] == 0.0
         assert rgb.shape == (2, 3)
+
+    def test_stale_cache_regenerates(self, tmp_path):
+        """A cached scene with an old (or missing) scene_version must be
+        regenerated in place, not silently reused."""
+        from nerfstyle_tpu.data.synthetic import generate_scene
+
+        root = tmp_path / "scene"
+        generate_scene(root, num_train=2, num_test=1, h=16, w=20, room=True)
+        meta = dict(np.load(root / "meta.npz"))
+        meta.pop("scene_version")
+        meta["h"] = np.asarray(7)  # sentinel: would survive a silent reuse
+        np.savez_compressed(root / "meta.npz", **meta)
+        generate_scene(root, num_train=2, num_test=1, h=16, w=20, room=True)
+        assert int(np.load(root / "meta.npz")["h"]) == 16
 
     def test_open_scene_unchanged(self, tmp_path):
         from nerfstyle_tpu.data.synthetic import _trace

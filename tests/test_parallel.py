@@ -162,7 +162,7 @@ class TestTrainerMesh:
         outs = []
         for tr in (tr_mesh, tr_single):
             step = tr._get_train_step()
-            _, _, _, losses, num_points, _num_cand = step(
+            _, _, _, losses, num_points, _num_cand, _num_sig = step(
                 tr.params, tr.opt_state, tr.ema_state,
                 tr.renderer.occ_field,
                 tr._images_dev[0], tr._poses_dev[0], k_step,
