@@ -300,6 +300,7 @@ class Trainer:
                 max(256, tc.num_rays_per_batch), self._ray_ladder[-1]
             )
             self._ray_grow_streak = 0
+            self._ray_grow_cand = 0
             # The renderer's budget bucket becomes a demand summary only.
             self.renderer.autotune_budget = False
 
@@ -582,8 +583,13 @@ class Trainer:
         Policy mirrors the bucket ladder's (_debounced_jump), with the
         directions swapped: demand RISING means too many rays would overflow
         the budget and truncate, so SHRINK immediately; demand falling means
-        idle budget, so GROW only after two consecutive retunes agree (each
-        ladder value is a separate XLA compile of the train step).
+        idle budget, so GROW only after two consecutive retunes want the SAME
+        ladder value (each ladder value is a separate XLA compile of the
+        train step — on the remote compile helper the flagship step costs
+        tens of minutes per shape, so during the monotone demand decay of
+        occupancy pruning the controller must NOT walk every octave: requiring
+        the wanted value itself to repeat collapses the transient into one
+        jump to the settled count).
         """
         r = self.renderer
         if r._mean_count_host <= 0:
@@ -600,7 +606,14 @@ class Trainer:
             new = cand
             self._ray_grow_streak = 0
         elif cand > cur:
-            self._ray_grow_streak += 1
+            # Streak counts consecutive retunes wanting THIS cand; a still-
+            # moving demand estimate resets it, so mid-decay octaves are
+            # never compiled.
+            if cand == self._ray_grow_cand:
+                self._ray_grow_streak += 1
+            else:
+                self._ray_grow_cand = cand
+                self._ray_grow_streak = 1
             if self._ray_grow_streak >= 2:
                 new = cand
                 self._ray_grow_streak = 0

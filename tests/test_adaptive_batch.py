@@ -116,5 +116,21 @@ def test_grow_is_debounced_and_shrink_immediate(tmp_path):
         r._last_num_rays = 2048
         t._retune_adaptive_rays()
         assert t._adaptive_rays == 256, "shrink must be immediate"
+
+        # Monotone demand decay (occupancy pruning): the wanted ladder value
+        # moves every retune, so the controller must NOT grow through the
+        # intermediate octaves — each octave is a separate multi-minute XLA
+        # compile of the train step.  Only when the want REPEATS does it jump.
+        for demand in (128, 64, 32, 16):  # want: 409 -> 819 -> 1638 -> 3276
+            r._mean_count_host = demand * t._adaptive_rays
+            r._last_num_rays = t._adaptive_rays
+            t._retune_adaptive_rays()
+            assert t._adaptive_rays == 256, (
+                f"moving demand (={demand}) must not grow"
+            )
+        r._mean_count_host = 16 * t._adaptive_rays
+        r._last_num_rays = t._adaptive_rays
+        t._retune_adaptive_rays()
+        assert t._adaptive_rays == 2048, "settled demand grows directly to max"
     finally:
         shutil.rmtree(t.log_dir, ignore_errors=True)
