@@ -40,7 +40,74 @@ def _force(x):
     return np.asarray(jax.device_get(x))
 
 
-def bench_train(work: Path, scene: Path, data_cfg: Path):
+# The train regime, shared with tools/probe_demand.py so the probe always
+# measures the EXACT bench regime (iteration count excluded — callers set it).
+TRAIN_REGIME_FLAGS = [
+    "--intervals.print", "0",
+    "--intervals.log", "0",
+    "--intervals.test", "0",
+    "--intervals.ckpt", "0",
+    "--update_thres", "64",
+    # A cap that CANNOT bind: max_samples_per_ray == max_steps (1024), so
+    # demand can never exceed it (the marcher caps kept samples per ray at
+    # max_steps).  A binding cap truncates exactly the samples whose
+    # gradients would suppress low-density fog, which then compounds
+    # (measured: occupancy 5% -> 18%, demand 30 -> 178 samples/ray,
+    # training diverged at ~1.2k iters under a 64 cap).  The reference
+    # sizes its buffer dynamically with NO cap (raymarching.py:233-236).
+    "--max_samples_per_ray", "1024",
+    # Fixed-sample-budget training with an adaptive ray count: the
+    # production TPU mode.  Demand * 1.25 always fits the budget (the ray
+    # count shrinks through the pre-pruning transient and grows as
+    # occupancy prunes), so per-ray truncation cannot bind at the default
+    # >=262k budget and the dominant compiled shape is a run constant.
+    "--adaptive_batch",
+    # Active free-space suppression (the reference's own lever,
+    # /root/reference/config.py:419-426 + trainers/base.py:285-290):
+    # keeps the few-view synthetic scene out of the fog-runaway regime
+    # the round-2 driver bench hit (demand 782/ray).  8192 samples/iter
+    # (not the 50k default): the regularizer is statistical, and the
+    # extra fwd+bwd encode at 50k pts pushed the bucket-256 step compile
+    # over the 15.75G HBM ceiling (measured OOM, 20.35G).
+    "--sparsity_lambda", "0.001",
+    "--sparsity_samples", "8192",
+]
+
+
+def make_bench_scene(work: Path):
+    """Generate the bench scene + data.yaml per the NERFSTYLE_BENCH_* env
+    knobs; returns ``(data_cfg, info_dict)``.  Shared with
+    tools/probe_demand.py so both always describe the same regime."""
+    from nerfstyle_tpu.data.synthetic import generate_scene
+
+    # 504x378: the LLFF images_8 resolution class (BASELINE.md).
+    # NERFSTYLE_BENCH_RES=HxW overrides for smoke runs on CPU.
+    res = os.environ.get("NERFSTYLE_BENCH_RES", "378x504")
+    h, w = (int(v) for v in res.split("x"))
+    # 30 train views = LLFF-scale coverage (the PSNR-stable regime from the
+    # round-2 long runs; 12 views overfits into few-view fog, which is what
+    # blew up the round-2 driver bench).  Scene dir is versioned by view
+    # count so cached 12-view scenes are never silently reused.
+    views = int(os.environ.get("NERFSTYLE_BENCH_VIEWS", "30"))
+    # Enclosed room by default (NERFSTYLE_BENCH_SCENE=spheres for the legacy
+    # open scene): the reference's headline benchmark is the LLFF *room* —
+    # enclosed, every ray terminates on a wall, so early termination and the
+    # thin-shell occupancy regime actually engage.  The open sphere scene left
+    # ~97% of rays unterminated (T~1 to the far AABB face), which inflated
+    # inference sample demand ~20x and invited few-view fog during training.
+    variant = os.environ.get("NERFSTYLE_BENCH_SCENE", "room")
+    scene = work / f"scene_{variant}_{h}x{w}_v{views}"
+    generate_scene(
+        scene, num_train=views, num_test=3, h=h, w=w, room=variant == "room"
+    )
+    data_cfg = work / "data.yaml"
+    data_cfg.write_text(
+        f"root_path: {scene}\ntype: Synthetic\nbound: 2.0\nscale: 1.0\n"
+    )
+    return data_cfg, {"scene_res": f"{h}x{w}", "scene": variant, "views": views}
+
+
+def bench_train(work: Path, data_cfg: Path):
     from nerfstyle_tpu.config import BaseConfig
     from nerfstyle_tpu.training.trainer import Trainer
 
@@ -51,35 +118,9 @@ def bench_train(work: Path, scene: Path, data_cfg: Path):
     cfg = BaseConfig(log_dir=logs, data_cfg=data_cfg)
     nargs = [
         "--num_iterations", "200",
-        "--intervals.print", "0",
-        "--intervals.log", "0",
-        "--intervals.test", "0",
-        "--intervals.ckpt", "0",
-        "--update_thres", "64",
-        # A cap that CANNOT bind: max_samples_per_ray == max_steps (1024), so
-        # demand can never exceed it (the marcher caps kept samples per ray at
-        # max_steps).  A binding cap truncates exactly the samples whose
-        # gradients would suppress low-density fog, which then compounds
-        # (measured: occupancy 5% -> 18%, demand 30 -> 178 samples/ray,
-        # training diverged at ~1.2k iters under a 64 cap).  The reference
-        # sizes its buffer dynamically with NO cap (raymarching.py:233-236).
-        "--max_samples_per_ray", "1024",
-        # Fixed-sample-budget training with an adaptive ray count: the
-        # production TPU mode.  Demand * 1.25 always fits the budget (the ray
-        # count shrinks through the pre-pruning transient and grows as
-        # occupancy prunes), so per-ray truncation is impossible by
-        # construction and the dominant compiled shape is a run constant.
-        "--adaptive_batch",
-        # Active free-space suppression (the reference's own lever,
-        # /root/reference/config.py:419-426 + trainers/base.py:285-290):
-        # keeps the few-view synthetic scene out of the fog-runaway regime
-        # the round-2 driver bench hit (demand 782/ray).  8192 samples/iter
-        # (not the 50k default): the regularizer is statistical, and the
-        # extra fwd+bwd encode at 50k pts pushed the bucket-256 step compile
-        # over the 15.75G HBM ceiling (measured OOM, 20.35G).
-        "--sparsity_lambda", "0.001",
-        "--sparsity_samples", "8192",
-    ] + os.environ.get("NERFSTYLE_BENCH_EXTRA_ARGS", "").split()
+    ] + TRAIN_REGIME_FLAGS + os.environ.get(
+        "NERFSTYLE_BENCH_EXTRA_ARGS", ""
+    ).split()
     trainer = Trainer(cfg, nargs, assume_yes=True)
 
     # Structure: converge FIRST, then time.  The timed window must sit in
@@ -296,32 +337,9 @@ def main():
         pass
 
     work = Path(os.environ.get("NERFSTYLE_BENCH_DIR", "/tmp/nerfstyle_bench"))
-    from nerfstyle_tpu.data.synthetic import generate_scene
+    data_cfg, scene_info = make_bench_scene(work)
 
-    # 504x378: the LLFF images_8 resolution class (BASELINE.md).
-    # NERFSTYLE_BENCH_RES=HxW overrides for smoke runs on CPU.
-    res = os.environ.get("NERFSTYLE_BENCH_RES", "378x504")
-    h, w = (int(v) for v in res.split("x"))
-    # 30 train views = LLFF-scale coverage (the PSNR-stable regime from the
-    # round-2 long runs; 12 views overfits into few-view fog, which is what
-    # blew up the round-2 driver bench).  Scene dir is versioned by view
-    # count so cached 12-view scenes are never silently reused.
-    views = int(os.environ.get("NERFSTYLE_BENCH_VIEWS", "30"))
-    # Enclosed room by default (NERFSTYLE_BENCH_SCENE=spheres for the legacy
-    # open scene): the reference's headline benchmark is the LLFF *room* —
-    # enclosed, every ray terminates on a wall, so early termination and the
-    # thin-shell occupancy regime actually engage.  The open sphere scene left
-    # ~97% of rays unterminated (T~1 to the far AABB face), which inflated
-    # inference sample demand ~20x and invited few-view fog during training.
-    variant = os.environ.get("NERFSTYLE_BENCH_SCENE", "room")
-    scene = work / f"scene_{variant}_{h}x{w}_v{views}"
-    generate_scene(
-        scene, num_train=views, num_test=3, h=h, w=w, room=variant == "room"
-    )
-    data_cfg = work / "data.yaml"
-    data_cfg.write_text(f"root_path: {scene}\ntype: Synthetic\nbound: 2.0\nscale: 1.0\n")
-
-    rays_per_sec, ckpt, converge_s = bench_train(work, scene, data_cfg)
+    rays_per_sec, ckpt, converge_s = bench_train(work, data_cfg)
     result = {
         "metric": "train_rays_per_sec",
         "value": round(rays_per_sec, 1),
@@ -329,15 +347,15 @@ def main():
         "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 3),
         # Self-description: regime parameters so round-over-round numbers
         # are comparable without reading the script.
-        "train_views": views,
+        "train_views": scene_info["views"],
         "train_warmup_iters": int(os.environ.get("NERFSTYLE_BENCH_WARMUP", "120")),
         "train_converge_iters": int(
             os.environ.get("NERFSTYLE_BENCH_CONVERGE_ITERS", "1000")
         ),
         "train_converge_s": round(converge_s, 1),
         "train_timed_iters": int(os.environ.get("NERFSTYLE_BENCH_ITERS", "100")),
-        "scene_res": f"{h}x{w}",
-        "scene": variant,
+        "scene_res": scene_info["scene_res"],
+        "scene": scene_info["scene"],
     }
 
     if not os.environ.get("NERFSTYLE_BENCH_SKIP_STYLE"):

@@ -517,11 +517,12 @@ class TrainConfig(Config):
     ray count instead of a fixed ray count with an adaptive sample budget.
     The compiled step's dominant shape (the compacted sample stream) becomes
     a run constant, the ray count rides a power-of-two ladder sized so that
-    demand * 1.25 always fits the budget, and per-ray truncation becomes
-    impossible: at the ladder minimum (256 rays) even max_steps samples on
-    every ray fit a >=262k budget.  The reference instead sizes its point
-    buffer at mean_count and silently drops overflow rays
-    (raymarching.py:233-236)."""
+    demand * 1.25 always fits the budget, and per-ray truncation cannot bind
+    as long as the budget covers the ladder minimum (with a >=262k budget,
+    256 rays fit even max_steps=1024 samples each; with a smaller budget the
+    trainer warns when demand pins the controller at the minimum and
+    truncates).  The reference instead sizes its point buffer at mean_count
+    and silently drops overflow rays (raymarching.py:233-236)."""
 
     adaptive_batch_max_rays: int = 32768
     """Ray-count ladder ceiling under adaptive_batch.  When free-space

@@ -53,6 +53,66 @@ def segment_exclusive_cumsum(x: jnp.ndarray, ray_id: jnp.ndarray, num_rays: int)
     return flat - x - prev_total[ray_id]
 
 
+# Optical-depth clamp: for any sdt >= ~88, alpha == 1.0 and T == 0.0 exactly
+# in fp32, so a cap at 100 is numerically identical — but WITHOUT it a single
+# sigma=inf sample (transient exp overflow in the unclamped trunc_exp forward,
+# which the reference has too) turns the exclusive-cumsum difference into
+# inf - inf = NaN and poisons the whole step.  The reference's sequential CUDA
+# loop never forms that difference; this cap is the scan formulation's
+# equivalent.
+OPTICAL_DEPTH_CAP = 100.0
+
+
+def significance(
+    sigmas: jnp.ndarray,
+    ray_id: jnp.ndarray,
+    valid: jnp.ndarray,
+    num_rays: int,
+    dt: float,
+    t_thresh: float,
+):
+    """Shared early-stop/inclusion math of the masked-scan compositor.
+
+    The two-phase paths (render/pipeline.py, render/renderer.py) must use
+    BIT-IDENTICAL significance math to this compositor's internal mask or
+    their exactness guarantee silently breaks — so it lives here, once.
+
+    Args:
+        sigmas: [M] densities, already density_scale-multiplied.
+    Returns:
+        (included, sdt, trans): the inclusion mask ``T_i >= t_thresh`` (NOT
+        and-ed with ``valid`` — invalid rows get sdt 0 so their weight
+        vanishes regardless), the clamped per-sample optical depth, and the
+        entering transmittance.
+    """
+    sdt = jnp.where(valid, jnp.minimum(sigmas * dt, OPTICAL_DEPTH_CAP), 0.0)
+    excl = segment_exclusive_cumsum(sdt, ray_id, num_rays)
+    trans = jnp.exp(-excl)  # T entering each sample
+    return trans >= t_thresh, sdt, trans
+
+
+def sample_weights(
+    sigmas: jnp.ndarray,
+    ray_id: jnp.ndarray,
+    valid: jnp.ndarray,
+    num_rays: int,
+    dt: float,
+    t_thresh: float,
+):
+    """Per-sample compositing weights ``alpha * T * included`` — exactly the
+    weights :func:`composite_rays` reduces with (single source of truth for
+    the two-phase inference and style-cache paths).
+
+    Returns ``(w, included)`` — the weights and the early-stop inclusion
+    mask (the latter is a diagnostic input for the two-phase renderer).
+    """
+    included, sdt, trans = significance(
+        sigmas, ray_id, valid, num_rays, dt, t_thresh
+    )
+    alpha = 1.0 - jnp.exp(-sdt)
+    return alpha * trans * included.astype(sigmas.dtype), included
+
+
 def composite_rays(
     sigmas: jnp.ndarray,
     rgbs: jnp.ndarray,
@@ -71,20 +131,10 @@ def composite_rays(
         dt: constant step size (plan.dt).
         t_thresh: transmittance early-stop threshold (cfg.t_thresh).
     """
-    valid = samples.valid
-    # Clamp the optical depth per sample: for any sdt >= ~88, alpha == 1.0
-    # and T == 0.0 exactly in fp32, so a cap at 100 is numerically identical
-    # — but WITHOUT it a single sigma=inf sample (transient exp overflow in
-    # the unclamped trunc_exp forward, which the reference has too) turns
-    # the exclusive-cumsum difference into inf - inf = NaN and poisons the
-    # whole step.  The reference's sequential CUDA loop never forms that
-    # difference; this cap is the scan formulation's equivalent.
-    sdt = jnp.where(valid, jnp.minimum(sigmas * dt, 100.0), 0.0)
-
-    excl = segment_exclusive_cumsum(sdt, samples.ray_id, num_rays)
-    trans = jnp.exp(-excl)  # T entering each sample
+    included, sdt, trans = significance(
+        sigmas, samples.ray_id, samples.valid, num_rays, dt, t_thresh
+    )
     alpha = 1.0 - jnp.exp(-sdt)
-    included = trans >= t_thresh  # early-stop mask (see module docstring)
     w = alpha * trans * included.astype(sigmas.dtype)
 
     image = jax.ops.segment_sum(

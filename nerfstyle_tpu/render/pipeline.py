@@ -48,7 +48,7 @@ from ..ops.compact import compact_indices
 from ..ops.compositing import (
     CompositeOutput,
     composite_rays,
-    segment_exclusive_cumsum,
+    significance,
 )
 from ..ops.marching import SampleBatch
 
@@ -85,17 +85,11 @@ def eval_composite(
         # CSEs the cumsum with composite_rays' internal one): lets the
         # trainer size the two-phase capacity from the FIRST retune instead
         # of paying a full-capacity two-phase compile to discover it.
-        sdt = jnp.where(
-            samples.valid,
-            jnp.minimum(
-                jax.lax.stop_gradient(sigmas) * density_scale * dt, 100.0
-            ),
-            0.0,
+        inc, _, _ = significance(
+            jax.lax.stop_gradient(sigmas) * density_scale,
+            samples.ray_id, samples.valid, num_rays, dt, t_thresh,
         )
-        excl = segment_exclusive_cumsum(sdt, samples.ray_id, num_rays)
-        num_sig = jnp.sum(
-            (jnp.exp(-excl) >= t_thresh) & samples.valid, dtype=jnp.int32
-        )
+        num_sig = jnp.sum(inc & samples.valid, dtype=jnp.int32)
         return out, num_sig
 
     # ---- phase A: density-only keep mask, no gradient, no residuals ----
@@ -103,11 +97,11 @@ def eval_composite(
         spec, jax.lax.stop_gradient(params), bbox, samples.xyz,
         compute_dtype=compute_dtype,
     )
-    sdt = jnp.where(
-        samples.valid, jnp.minimum(sig_a * density_scale * dt, 100.0), 0.0
+    inc, _, _ = significance(
+        sig_a * density_scale, samples.ray_id, samples.valid,
+        num_rays, dt, t_thresh,
     )
-    excl = segment_exclusive_cumsum(sdt, samples.ray_id, num_rays)
-    keep = (jnp.exp(-excl) >= t_thresh) & samples.valid
+    keep = inc & samples.valid
     num_sig = jnp.sum(keep, dtype=jnp.int32)
 
     # ---- compact the kept prefix (order-preserving: stays ray-major, so

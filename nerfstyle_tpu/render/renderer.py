@@ -474,7 +474,7 @@ def make_two_phase_renderer(
     import dataclasses
 
     from ..models.fields import field_color
-    from ..ops.compositing import segment_exclusive_cumsum
+    from ..ops.compositing import sample_weights
 
     jit_cache = {}
 
@@ -502,12 +502,10 @@ def make_two_phase_renderer(
             sigmas = field_density(
                 field_spec, params, bbox, sb.xyz, compute_dtype=compute_dtype
             ) * density_scale
-            sdt = jnp.where(sb.valid, jnp.minimum(sigmas * dt, 100.0), 0.0)
-            excl = segment_exclusive_cumsum(sdt, sb.ray_id, chunk)
-            trans = jnp.exp(-excl)
-            alpha = 1.0 - jnp.exp(-sdt)
-            included = trans >= t_thresh  # raymarching.cu:1218-1227
-            w = alpha * trans * included.astype(sigmas.dtype)
+            # Early-stop mask per raymarching.cu:1218-1227.
+            w, included = sample_weights(
+                sigmas, sb.ray_id, sb.valid, chunk, dt, t_thresh
+            )
 
             # Phase B: color branch on the weight-significant samples only.
             sig = (w > sig_eps) & sb.valid

@@ -396,7 +396,7 @@ class StyleTrainer(Trainer):
         from ..models.fields import field_density
         from ..ops.aabb import near_far_from_aabb
         from ..ops.compact import compact_indices
-        from ..ops.compositing import segment_exclusive_cumsum
+        from ..ops.compositing import sample_weights
         from ..ops.marching import march_rays
 
         spec = self.field_spec
@@ -421,12 +421,9 @@ class StyleTrainer(Trainer):
                 spec, params, bbox, sb.xyz, compute_dtype=dtype
             ) * settings.density_scale
             # Same weight formula (and inf-sigma cap) as ops/compositing.py.
-            sdt = jnp.where(sb.valid, jnp.minimum(sigmas * plan.dt, 100.0), 0.0)
-            excl = segment_exclusive_cumsum(sdt, sb.ray_id, chunk)
-            trans = jnp.exp(-excl)
-            alpha = 1.0 - jnp.exp(-sdt)
-            included = trans >= settings.t_thresh
-            w = alpha * trans * included.astype(sigmas.dtype)
+            w, _ = sample_weights(
+                sigmas, sb.ray_id, sb.valid, chunk, plan.dt, settings.t_thresh
+            )
 
             sig = (w > eps) & sb.valid
             n_sig = jnp.sum(sig, dtype=jnp.int32)

@@ -57,7 +57,13 @@ from ..parallel.mesh import (
     make_mesh,
 )
 from ..ops.occupancy import occupancy_persistable, occupancy_restore
-from ..render.renderer import Renderer, RenderSettings, render_rays
+from ..render.renderer import (
+    Renderer,
+    RenderSettings,
+    _debounced_jump,
+    bucket_for,
+    render_rays,
+)
 from ..training import checkpoint as ckpt_lib
 from ..training.ema import EmaState, ema_init, ema_params, ema_update
 from .. import utils
@@ -291,13 +297,21 @@ class Trainer:
                     f"adaptive_batch budget {self._adaptive_budget} must "
                     f"divide the {n_dev}-device mesh"
                 )
-            ladder, v = [], 256
+            # Power-of-two rungs, each rounded UP to a mesh multiple so
+            # local_plan's even-shard requirement holds at every rung (a
+            # non-power-of-two mesh, e.g. 12 devices, would otherwise fail
+            # mid-training on the first ladder move).
+            ladder, v, seen = [], 256, set()
             while v <= max(256, tc.adaptive_batch_max_rays):
-                ladder.append(v)
+                rung = -(-v // n_dev) * n_dev
+                if rung not in seen:
+                    ladder.append(rung)
+                    seen.add(rung)
                 v *= 2
             self._ray_ladder = tuple(ladder)
             self._adaptive_rays = min(
-                max(256, tc.num_rays_per_batch), self._ray_ladder[-1]
+                max(self._ray_ladder[0], tc.num_rays_per_batch),
+                self._ray_ladder[-1],
             )
             self._ray_grow_streak = 0
             self._ray_grow_cand = 0
@@ -619,6 +633,26 @@ class Trainer:
                 self._ray_grow_streak = 0
         else:
             self._ray_grow_streak = 0
+        if (
+            new == self._ray_ladder[0]
+            and demand * 1.25 * new > self._adaptive_budget
+            and r._local_step_host > r.settings.update_thres
+        ):
+            # The controller can shrink no further: demand at the ladder
+            # minimum overflows the fixed budget, so march_rays is silently
+            # truncating samples every step — the fog-runaway regime the
+            # autotune path warns about (renderer._retune_bucket).  Surface
+            # it here too; the fix is a larger adaptive_batch_budget (or a
+            # scene regime whose demand fits).
+            import warnings
+
+            warnings.warn(
+                f"adaptive_batch pinned at the {new}-ray ladder minimum with "
+                f"steady-state demand {demand:.0f} samples/ray "
+                f"({demand * 1.25 * new:.0f} > budget {self._adaptive_budget})"
+                "; training is truncating — raise adaptive_batch_budget",
+                stacklevel=2,
+            )
         if new != cur:
             # mean_count is an EMA of per-BATCH compacted counts; rescale it
             # to the new batch size so per-ray demand estimates stay
@@ -648,8 +682,6 @@ class Trainer:
         """
         if self._last_num_sig is None:
             return
-        from ..render.renderer import _debounced_jump, bucket_for
-
         # Divide by the ray count the measured step ACTUALLY ran at — an
         # adaptive-batch retune immediately before this call may already have
         # moved the CURRENT ray count (measured: a 4096->1024 move inflated

@@ -1,11 +1,12 @@
 """Adaptive ray batching: fixed sample budget, ladder-tuned ray count.
 
 Under ``--adaptive_batch`` the train step's compacted-sample budget is a run
-constant and the ray count adapts so demand * 1.25 always fits — per-ray
-truncation becomes impossible by construction (the reference instead sizes
-its point buffer at mean_count and silently drops overflow rays,
-raymarching.py:233-236).  These tests drive the real Trainer on a tiny scene
-and check the controller's invariants.
+constant and the ray count adapts so demand * 1.25 always fits (truncation
+can only bind when demand pins the controller at the ladder minimum, which
+the trainer warns about; the reference instead sizes its point buffer at
+mean_count and silently drops overflow rays, raymarching.py:233-236).  These
+tests drive the real Trainer on a tiny scene and check the controller's
+invariants.
 """
 
 import shutil
@@ -64,8 +65,13 @@ class TestAdaptiveBatch:
     def test_controller_tracks_demand_and_never_truncates(self, adaptive_trainer):
         t = adaptive_trainer
         seen_rays = set()
+        rays_before = t.rays_trained
+        expected_rays = 0
         for _ in range(40):
             t.run_iter()
+            # Any retune happens at the TOP of run_iter, so _adaptive_rays
+            # read here is the count the step just ran at.
+            expected_rays += t._adaptive_rays
             seen_rays.add(t._adaptive_rays)
             # Invariant: the chosen ray count keeps 1.25x the estimated
             # demand within the fixed budget whenever an estimate exists
@@ -76,7 +82,10 @@ class TestAdaptiveBatch:
                 demand = r._mean_count_host / max(1, r._last_num_rays)
                 assert demand * 1.25 * t._adaptive_rays <= t._adaptive_budget * 1.05
 
-        assert t.rays_trained == sum_rays_expected(t)
+        # The accumulator backing bench.py's rays/s metric must equal the
+        # independently tracked per-iteration sum (catches double counting).
+        assert t.rays_trained - rays_before == expected_rays
+        assert 0 < t.rays_trained <= t.iter_ctr * t._ray_ladder[-1]
         # The tiny budget must have forced at least one ladder move.
         assert len(seen_rays) >= 2, seen_rays
         assert all(v in t._ray_ladder for v in seen_rays)
@@ -84,13 +93,6 @@ class TestAdaptiveBatch:
     def test_learns_under_adaptive_batch(self, adaptive_trainer):
         metrics = adaptive_trainer.test_networks()
         assert metrics["psnr"] > 10.0, metrics
-
-
-def sum_rays_expected(t):
-    # rays_trained accumulates the actual per-iteration ray counts; it must
-    # be positive and bounded by iters * ladder max.
-    assert 0 < t.rays_trained <= t.iter_ctr * t._ray_ladder[-1]
-    return t.rays_trained
 
 
 def test_grow_is_debounced_and_shrink_immediate(tmp_path):

@@ -27,25 +27,18 @@ try:
 except Exception:
     pass
 
+# Scene + regime setup is IMPORTED from bench.py so the probe always
+# measures the exact bench regime (same scene env knobs, same train flags —
+# including --adaptive_batch); a divergent copy here would size the bench's
+# warmup from a different regime than the bench runs.
+import bench
 from nerfstyle_tpu.config import BaseConfig
-from nerfstyle_tpu.data.synthetic import generate_scene
 from nerfstyle_tpu.training.trainer import Trainer
 
 
 def main():
     work = Path(sys.argv[1] if len(sys.argv) > 1 else "/tmp/nerfstyle_probe")
-    res = os.environ.get("NERFSTYLE_BENCH_RES", "378x504")
-    h, w = (int(v) for v in res.split("x"))
-    views = int(os.environ.get("NERFSTYLE_BENCH_VIEWS", "30"))
-    variant = os.environ.get("NERFSTYLE_BENCH_SCENE", "room")
-    scene = work / f"scene_{variant}_{h}x{w}_v{views}"
-    generate_scene(
-        scene, num_train=views, num_test=3, h=h, w=w, room=variant == "room"
-    )
-    data_cfg = work / "data.yaml"
-    data_cfg.write_text(
-        f"root_path: {scene}\ntype: Synthetic\nbound: 2.0\nscale: 1.0\n"
-    )
+    data_cfg, _ = bench.make_bench_scene(work)
     logs = work / "logs"
     import shutil
 
@@ -53,15 +46,9 @@ def main():
     cfg = BaseConfig(log_dir=logs, data_cfg=data_cfg)
     nargs = [
         "--num_iterations", "100000",
-        "--intervals.print", "0",
-        "--intervals.log", "0",
-        "--intervals.test", "0",
-        "--intervals.ckpt", "0",
-        "--update_thres", "64",
-        "--max_samples_per_ray", "1024",
-        "--sparsity_lambda", "0.001",
-        "--sparsity_samples", "8192",
-    ] + os.environ.get("NERFSTYLE_BENCH_EXTRA_ARGS", "").split()
+    ] + bench.TRAIN_REGIME_FLAGS + os.environ.get(
+        "NERFSTYLE_BENCH_EXTRA_ARGS", ""
+    ).split()
     trainer = Trainer(cfg, nargs, assume_yes=True)
     iters = int(os.environ.get("PROBE_ITERS", "1200"))
     report = int(os.environ.get("PROBE_REPORT", "32"))
