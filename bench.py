@@ -71,6 +71,15 @@ TRAIN_REGIME_FLAGS = [
     # over the 15.75G HBM ceiling (measured OOM, 20.35G).
     "--sparsity_lambda", "0.001",
     "--sparsity_samples", "8192",
+    # Start space EMPTY (sigma ~ exp(-4)) so geometry grows only where the
+    # loss demands it.  Without this the enclosed room scene trained INSIDE
+    # its init fog: no white-background signal suppresses sigma~1-2 fog fast,
+    # the occupancy threshold (min(mean_density, 10)) sits exactly at the
+    # fog level, and sample demand pinned at 550/ray for 1000+ iters
+    # (measured: grid median sigma 2.0 everywhere at iter 1220, train at
+    # 666 rays/s, inference demand so high the two-phase render graph OOMed
+    # the remote compiler).  See NetworkConfig.density_offset.
+    "--density_offset", "-4",
 ]
 
 
@@ -262,6 +271,7 @@ def bench_render(work: Path, data_cfg: Path, ckpt: Path, out_w=1008, out_h=756):
         density_hidden_layers=net_cfg.density_hidden_layers,
         rgb_hidden_dims=net_cfg.rgb_hidden_dims,
         rgb_hidden_layers=net_cfg.rgb_hidden_layers,
+        density_offset=net_cfg.density_offset,
     )
     from nerfstyle_tpu.models.fields import with_dedup
 

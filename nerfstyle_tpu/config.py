@@ -400,6 +400,18 @@ class NetworkConfig(Config):
     dir_enc_sh_deg: int = 4
     """No. of basis degrees for SH encoding of view direction."""
 
+    density_offset: float = 0.0
+    """Constant added to the density head's output before trunc_exp
+    (sigma = exp(out + offset)).  0.0 is reference parity (the reference's
+    tcnn MLP is bias-free and feeds trunc_exp directly, so space initializes
+    at sigma ~ 1 — low-grade fog).  Negative values start space EMPTY
+    (sigma ~ exp(offset)) so geometry grows only where the photometric loss
+    demands it — a standard instant-ngp regime stabilizer for enclosed
+    scenes, where no white-background signal suppresses the init fog and
+    sample demand stays pinned at the full march depth (measured: the
+    enclosed bench room sat at sigma ~ 2 / 550 samples/ray after 1.2k iters
+    without it).  Expressivity is unchanged (the MLP output is unbounded)."""
+
     default_path = "cfgs/network/default.yaml"
 
 

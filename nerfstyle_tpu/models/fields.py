@@ -60,6 +60,9 @@ class FieldSpec:
     rgb_hidden_dims: int = 64
     rgb_hidden_layers: int = 2
     kind: str = "style"  # "style" (StyleTCNerf) | "base" (TCNerf)
+    # Constant added to the density head's output before trunc_exp; negative
+    # values initialize space empty (see NetworkConfig.density_offset).
+    density_offset: float = 0.0
     # Ray-coherent corner dedup for marched sample streams (ops/hashgrid.py
     # DedupPlan); None disables.  Attach via with_dedup().
     dedup: Optional[DedupPlan] = None
@@ -117,6 +120,7 @@ def style_field_spec(
     density_hidden_layers: int = 1,
     rgb_hidden_dims: int = 64,
     rgb_hidden_layers: int = 2,
+    density_offset: float = 0.0,
 ) -> FieldSpec:
     return FieldSpec(
         grid=grid,
@@ -128,6 +132,7 @@ def style_field_spec(
         rgb_hidden_dims=rgb_hidden_dims,
         rgb_hidden_layers=rgb_hidden_layers,
         kind="style",
+        density_offset=density_offset,
     )
 
 
@@ -201,7 +206,7 @@ def field_density(
         dedup=spec.dedup if use_dedup else None,
     )
     out = mlp_apply(params["density_net"], h, compute_dtype=compute_dtype)
-    return trunc_exp(out[:, 0])
+    return trunc_exp(out[:, 0] + spec.density_offset)
 
 
 def field_color(
@@ -271,7 +276,7 @@ def field_apply(
                 bwd_pack=compute_dtype == jnp.bfloat16, dedup=spec.dedup,
             )
             sigma_out = mlp_apply(params["density_net"], h_density, compute_dtype=compute_dtype)
-            return trunc_exp(sigma_out[:, 0])
+            return trunc_exp(sigma_out[:, 0] + spec.density_offset)
 
         # Fused dual-table gather: the density and color encoders share
         # identical corner indices (same spec, same x), so one gather on the
@@ -292,7 +297,7 @@ def field_apply(
         h_color = h3[..., c:].reshape(x.shape[0], spec.grid.output_dim)
 
         sigma_out = mlp_apply(params["density_net"], h_density, compute_dtype=compute_dtype)
-        sigmas = trunc_exp(sigma_out[:, 0])
+        sigmas = trunc_exp(sigma_out[:, 0] + spec.density_offset)
         classes = mlp_apply(params["class_net"], h_color, compute_dtype=compute_dtype)
         color1 = mlp_apply(params["color1_net"], h_color, compute_dtype=compute_dtype)
 
@@ -315,7 +320,7 @@ def field_apply(
         bwd_pack=compute_dtype == jnp.bfloat16, dedup=spec.dedup,
     )
     density_out = mlp_apply(params["density_net"], h, compute_dtype=compute_dtype)
-    sigmas = trunc_exp(density_out[:, 0])
+    sigmas = trunc_exp(density_out[:, 0] + spec.density_offset)
     if dirs is None:
         return sigmas
     d01 = (dirs + 1.0) / 2.0

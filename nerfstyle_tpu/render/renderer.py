@@ -22,6 +22,7 @@ Architectural differences (deliberate, TPU-first):
 
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass
 from typing import Dict, Optional
@@ -86,6 +87,15 @@ class RenderSettings:
     infer_round_size: int = 32
     # TPU-specific: rays per jitted incremental-render call (image chunking).
     infer_chunk: int = 8192
+    # TPU-specific: hard ceiling on chunk_rays * samples_per_ray_bucket for
+    # one inference dispatch.  When march demand grows the samples/ray bucket
+    # (e.g. an unpruned/foggy field at 500+ samples/ray), the chunk SHRINKS
+    # so the per-dispatch march stream — and the 16-level encoder gathers it
+    # feeds — stays within HBM.  Without this, a demand spike compiles a
+    # chunk x 1024-sample graph whose gather temps exceed device memory
+    # (measured: 25.7 GB allocation, remote-compile OOM, at 8192 x 1024).
+    # 4.2M (= the known-good 8192 x 512 regime) is the default.
+    infer_sample_budget: int = 4_194_304
     # TPU-specific: two-phase inference (density branch on the whole marched
     # stream, color branch only on weight-significant samples) instead of the
     # incremental alive-ray loop.  See make_two_phase_renderer.
@@ -1012,6 +1022,65 @@ class Renderer:
             self._infer_sig_bucket,
         ) != before
 
+    def _infer_chunk_cap(self) -> int:
+        """Rays per inference dispatch at the CURRENT samples/ray bucket:
+        the largest power of two with chunk * bucket <= infer_sample_budget
+        (bounded by infer_chunk, floored at 256).  High-demand regimes thus
+        trade dispatch count for per-dispatch memory instead of compiling
+        graphs whose encoder-gather temps exceed HBM."""
+        spr = max(1, self._infer_spr_bucket)
+        cap = max(256, self.settings.infer_sample_budget // spr)
+        chunk = 256
+        while chunk * 2 <= min(cap, self.settings.infer_chunk):
+            chunk *= 2
+        return chunk
+
+    def _render_piece(
+        self, params: Params, rays: RayBundle, round_size: int
+    ) -> Dict[str, jnp.ndarray]:
+        """Dispatch one frame piece, sub-chunking to the current chunk cap
+        (bucket growth mid-frame can shrink the cap below the piece size).
+        Sub-outputs merge exactly: maps concatenate, counters sum."""
+        cap = self._infer_chunk_cap()
+        n = len(rays)
+        if n <= cap:
+            return self._render_chunk_infer(params, rays, round_size)
+        bounds = list(range(0, n, cap))
+        subs = [
+            self._render_chunk_infer(
+                params,
+                RayBundle(rays.origins[i : i + cap], rays.dirs[i : i + cap]),
+                round_size,
+            )
+            for i in bounds
+        ]
+        sub_lens = [min(cap, n - i) for i in bounds]
+        merged = {
+            k: jnp.concatenate([s[k] for s in subs])
+            for k in ("rgb_map", "trans_map", "classes", "weights_sum")
+        }
+        for k in subs[0]:
+            if k in merged:
+                continue
+            if k in ("num_marched", "num_cand", "num_sig"):
+                # Demand counters answer "does the CURRENT bucket cover one
+                # dispatch?" — scale the worst sub-chunk's per-ray demand to
+                # piece size so the caller's piece-level capacity check stays
+                # exact; a piece-total sum could hide one overflowing
+                # sub-chunk behind its under-budget siblings.
+                # ceil-per-ray FIRST (keeps int32 away from overflow: the
+                # per-ray value is <= max_steps, so * n stays < 2^31).
+                merged[k] = functools.reduce(
+                    jnp.maximum,
+                    [
+                        ((s[k] + ln - 1) // ln) * n
+                        for s, ln in zip(subs, sub_lens)
+                    ],
+                )
+            else:  # evaluation-count diagnostics: exact sums
+                merged[k] = sum(s[k] for s in subs)
+        return merged
+
     def _render_frame_incremental(
         self, params: Params, piece_rays: list, round_size: Optional[int] = None
     ) -> list:
@@ -1028,7 +1097,7 @@ class Renderer:
         if round_size is None:
             round_size = self.settings.infer_round_size
         pieces = [
-            self._render_chunk_infer(params, pr, round_size)
+            self._render_piece(params, pr, round_size)
             for pr in piece_rays
         ]
         for _ in range(len(_WINDOW_BUCKETS) + 8):  # ladder is finite
@@ -1064,7 +1133,7 @@ class Renderer:
                 )
                 return pieces
             for i in over:
-                pieces[i] = self._render_chunk_infer(
+                pieces[i] = self._render_piece(
                     params, piece_rays[i], round_size
                 )
         return pieces
@@ -1086,7 +1155,7 @@ class Renderer:
             round_size = self.settings.infer_round_size
         n = len(rays)
         while True:
-            out = self._render_chunk_infer(params, rays, round_size)
+            out = self._render_piece(params, rays, round_size)
             marched = int(out["num_marched"])
             cand = int(out["num_cand"])
             sig = int(out.get("num_sig", 0))
@@ -1129,6 +1198,11 @@ class Renderer:
         # _build_train_step); this surface always renders the full window.
         if chunk is None:
             chunk = self.settings.infer_chunk
+        if not training:
+            # Bound chunk * samples/ray-bucket per dispatch (HBM; see
+            # infer_sample_budget) — a checkpoint restored into a high-demand
+            # regime would otherwise compile an oversized graph on frame 1.
+            chunk = min(chunk, self._infer_chunk_cap())
         rays, target = generate_rays(
             pose, self.intr, image, patch=patch,
             num_rays=num_rays, camera_flip=self.settings.flip_camera, key=key,

@@ -202,6 +202,7 @@ class Trainer:
             density_hidden_layers=self.net_cfg.density_hidden_layers,
             rgb_hidden_dims=self.net_cfg.rgb_hidden_dims,
             rgb_hidden_layers=self.net_cfg.rgb_hidden_layers,
+            density_offset=self.net_cfg.density_offset,
         )
         # Ray-coherent corner dedup (ops/hashgrid.py): bitwise-identical
         # encodes, ~2x fewer gathered table rows on marched sample streams.

@@ -55,6 +55,22 @@ class TestStyleField:
         _, sig2 = field_apply(spec, params, bbox, pts, jnp.ones((8, 3)))
         np.testing.assert_allclose(np.asarray(sig1), np.asarray(sig2), rtol=1e-6)
 
+    def test_density_offset_scales_sigma(self, tiny_field):
+        """sigma = exp(mlp_out + offset): with identical params, an offset
+        of -4 multiplies every density by exp(-4) — empty-space init with
+        unchanged expressivity (see NetworkConfig.density_offset)."""
+        import dataclasses
+
+        spec, params, bbox = tiny_field
+        spec_off = dataclasses.replace(spec, density_offset=-4.0)
+        pts = jax.random.uniform(jax.random.PRNGKey(9), (32, 3), minval=-1, maxval=1)
+        sig0 = np.asarray(field_density(spec, params, bbox, pts))
+        sig4 = np.asarray(field_density(spec_off, params, bbox, pts))
+        np.testing.assert_allclose(sig4, sig0 * np.exp(-4.0), rtol=1e-5)
+        # Same law through the full apply path (sigma branch of field_apply).
+        _, sig4_full = field_apply(spec_off, params, bbox, pts, jnp.ones((32, 3)))
+        np.testing.assert_allclose(np.asarray(sig4_full), sig4, rtol=1e-5)
+
     def test_color_params_dont_affect_density(self, tiny_field):
         spec, params, bbox = tiny_field
         pts = jax.random.uniform(jax.random.PRNGKey(5), (8, 3), minval=-1, maxval=1)

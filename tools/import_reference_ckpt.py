@@ -187,6 +187,7 @@ def main() -> int:
         density_hidden_layers=net_cfg.density_hidden_layers,
         rgb_hidden_dims=net_cfg.rgb_hidden_dims,
         rgb_hidden_layers=net_cfg.rgb_hidden_layers,
+        density_offset=net_cfg.density_offset,
     )
     params = field_init(jax.random.PRNGKey(net_cfg.network_seed or 0), spec)
 

@@ -31,19 +31,19 @@ try:
 except Exception:
     pass
 
+# Regime setup is IMPORTED from bench.py (same scene knobs, same train
+# flags — including --adaptive_batch, whose fixed sample budget is what
+# keeps the per-ray cap from binding; a fixed 4096-ray batch at a 1M budget
+# caps at 256/ray and truncates in high-demand regimes, the exact
+# fog-runaway mode the r02 driver bench hit).
+import bench
 from nerfstyle_tpu.config import BaseConfig
-from nerfstyle_tpu.data.synthetic import generate_scene
 from nerfstyle_tpu.training.trainer import Trainer
 
 
 def main():
     work = Path(sys.argv[1] if len(sys.argv) > 1 else "/tmp/nerfstyle_room_psnr")
-    scene = work / "scene"
-    generate_scene(scene, num_train=30, num_test=3, h=378, w=504, room=True)
-    data_cfg = work / "data.yaml"
-    data_cfg.write_text(
-        f"root_path: {scene}\ntype: Synthetic\nbound: 2.0\nscale: 1.0\n"
-    )
+    data_cfg, _ = bench.make_bench_scene(work)
     logs = work / "logs"
     shutil.rmtree(logs, ignore_errors=True)
 
@@ -51,14 +51,11 @@ def main():
     cfg = BaseConfig(log_dir=logs, data_cfg=data_cfg)
     nargs = [
         "--num_iterations", str(iters),
-        "--intervals.print", "100",
-        "--intervals.log", "0",
-        "--intervals.test", "500",
-        "--intervals.ckpt", "0",
         "--max_eval_count", "3",
-        "--max_samples_per_ray", "1024",
-        "--sparsity_lambda", "0.001",
-        "--sparsity_samples", "8192",
+    ] + bench.TRAIN_REGIME_FLAGS + [
+        # Regime flags silence everything; this run WANTS periodic PSNR.
+        "--intervals.print", "100",
+        "--intervals.test", "500",
     ] + os.environ.get("EXTRA", "").split()
     trainer = Trainer(cfg, nargs, assume_yes=True)
     t0 = time.perf_counter()

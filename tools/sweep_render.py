@@ -90,6 +90,7 @@ def main():
         density_hidden_layers=net_cfg.density_hidden_layers,
         rgb_hidden_dims=net_cfg.rgb_hidden_dims,
         rgb_hidden_layers=net_cfg.rgb_hidden_layers,
+        density_offset=net_cfg.density_offset,
     )
     field_spec = with_dedup(
         field_spec, render_cfg.max_steps, np.asarray(train_set.bbox.size)
