@@ -332,6 +332,23 @@ class Trainer:
         # tunnel round trip).
         self._frame_rng = np.random.default_rng(self.train_cfg.rng_seed ^ 0x5EED)
 
+        # Settled adaptive shapes from the checkpoint (saved as
+        # "trainer_static"): a full resume starts at the ray count and
+        # two-phase kept-prefix bucket the run had settled on, so the FIRST
+        # compiled step is the steady-state shape — no retune churn (each
+        # ladder move is a multi-minute XLA compile on the remote helper).
+        ts = getattr(self, "_restored_trainer_static", None) or {}
+        ar = ts.get("adaptive_rays")
+        if ar and tc.adaptive_batch:
+            cand = self._ray_ladder[0]
+            for v in self._ray_ladder:
+                if v <= int(ar):
+                    cand = v
+            self._adaptive_rays = cand
+        sb = ts.get("sig_bucket_train")
+        if sb and tc.two_phase_train:
+            self._sig_bucket_train = int(sb)
+
     # ------------------------------------------------------------------
     # setup helpers
     # ------------------------------------------------------------------
@@ -898,6 +915,15 @@ class Trainer:
             "net_cfg": self.net_cfg.asdict(),
             "render_cfg": self.render_cfg.asdict(),
             "renderer_static": self.renderer.state_dict_static(),
+            # Settled adaptive shapes (see __init__'s resume presize).
+            "trainer_static": {
+                "adaptive_rays": (
+                    int(self._adaptive_rays)
+                    if getattr(self, "_adaptive_rays", None)
+                    else None
+                ),
+                "sig_bucket_train": self._sig_bucket_train,
+            },
         }
         trees = {
             "params": self.params,
@@ -909,6 +935,13 @@ class Trainer:
         self.logger.info("Saved checkpoint at %s", path)
 
     def _restore(self, meta: Dict, groups: Dict, load_model_only: bool):
+        # Stashed even under load_model_only: settled shapes are a property
+        # of the scene's geometry, so a style stage (or a fresh run seeded
+        # from this model) presizes its buckets from them instead of paying
+        # the grow-ladder's multi-minute recompiles again.  Applied after
+        # the adaptive-batch init (which runs later in __init__ and would
+        # otherwise overwrite it) — see the presize block there.
+        self._restored_trainer_static = meta.get("trainer_static")
         self.params = ckpt_lib.restore_tree(self.params, groups["params"])
         self.renderer.occ_state = occupancy_restore(
             ckpt_lib.restore_tree(
