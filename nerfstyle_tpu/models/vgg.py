@@ -150,6 +150,15 @@ def load_torch_weights(path: Union[str, Path], blocks, layers, kind=None) -> Lis
 
 
 def _find_weights(kind: str) -> Union[Path, None]:
+    """Locate pretrained weights for ``kind`` ("vgg16"/"vgg19").
+
+    Search order: NERFSTYLE_VGG16_WEIGHTS env var, ~/.cache/nerfstyle/
+    (the export-tool drop point), then the standard torch hub checkpoint
+    cache (where a plain ``torchvision.models.vgg16(weights=...)`` run
+    leaves its download, e.g. ~/.cache/torch/hub/checkpoints/
+    vgg16-397923af.pth).  Any hit is manifest-validated at load time
+    (validate_weights), so a wrong or corrupt file fails loudly rather
+    than stylizing with silently-wrong features."""
     env = os.environ.get(f"NERFSTYLE_{kind.upper()}_WEIGHTS")
     if env and Path(env).exists():
         return Path(env)
@@ -157,6 +166,12 @@ def _find_weights(kind: str) -> Union[Path, None]:
         p = Path.home() / ".cache" / "nerfstyle" / f"{kind}{suffix}"
         if p.exists():
             return p
+    torch_home = Path(
+        os.environ.get("TORCH_HOME", Path.home() / ".cache" / "torch")
+    )
+    hits = sorted((torch_home / "hub" / "checkpoints").glob(f"{kind}-*.pth"))
+    if hits:
+        return hits[0]
     return None
 
 
@@ -199,6 +214,7 @@ class VGGFeatureExtractor:
         used_blocks = self.blocks[: self._max_block + 1]
         used_layers = self.layers[: self._max_block + 1]
         weights_path = _find_weights(self.kind)
+        self.pretrained = weights_path is not None
         if weights_path is not None:
             self.params = load_torch_weights(
                 weights_path, used_blocks, used_layers, kind=self.kind

@@ -835,7 +835,9 @@ class Renderer:
                 int(self._last_num_cand), self._last_num_rays
             )
 
-    def _retune_window_bucket(self, cand: int, num_rays: int) -> None:
+    def _retune_window_bucket(
+        self, cand: int, num_rays: int, floor_current: bool = False
+    ) -> None:
         """Grow the window capacity immediately on pressure; shrink with a
         debounced DIRECT jump.  A too-small capacity silently drops candidate
         windows AND corrupts num_kept, which would spiral the sample budget
@@ -854,9 +856,12 @@ class Renderer:
         want = next(
             (b for b in _WINDOW_BUCKETS if b >= per_ray), max(_WINDOW_BUCKETS)
         )
-        self._window_bucket = _debounced_jump(
-            self._window_bucket, want, self._window_debounce
-        )
+        if floor_current:
+            self._window_bucket = max(self._window_bucket, want)
+        else:
+            self._window_bucket = _debounced_jump(
+                self._window_bucket, want, self._window_debounce
+            )
 
     def note_batch_points(
         self, num_points, num_rays: Optional[int] = None, num_cand=None
@@ -870,7 +875,8 @@ class Renderer:
             self._last_num_cand = num_cand  # device scalar; fetched at retune
 
     def retune_bucket_now(
-        self, num_points: int, num_rays: int, num_cand=None
+        self, num_points: int, num_rays: int, num_cand=None,
+        floor_current: bool = False,
     ) -> None:
         """Jump the compaction bucket directly to fit an observed batch.
 
@@ -878,7 +884,14 @@ class Renderer:
         so the recon-tuned bucket oversizes its budgets ~2-4x; unlike the
         hysteresis in :meth:`_retune_bucket` (which bounds recompiles during
         training), the style stage observes a full frame at once and can
-        retarget immediately — compiled fns are cached per bucket."""
+        retarget immediately — compiled fns are cached per bucket.
+
+        ``floor_current=True`` grows-only: callers inside a grow-until-fit
+        retry loop pass EXACT observed demand and must never shrink the
+        other ladder mid-loop.  (Passing current capacity as demand instead
+        would 1.25x-inflate whichever ladder did NOT overflow, one rung per
+        retry, ratcheting it to the ladder max — the source of the r03
+        dryrun's spurious truncation warnings.)"""
         if num_points <= 0 or num_rays <= 0:
             return
         # The caller may observe a FULL FRAME (style pass 1 reports the
@@ -890,9 +903,14 @@ class Renderer:
         per_ray = num_points * 1.25 / num_rays
         self._last_num_rays = cap_rays
         self._mean_count_host = int(num_points * cap_rays / num_rays)
-        self._budget_bucket = bucket_for(per_ray, self._effective_cap(cap_rays))
+        cand = bucket_for(per_ray, self._effective_cap(cap_rays))
+        if floor_current:
+            cand = max(cand, self._budget_bucket)
+        self._budget_bucket = cand
         if num_cand is not None:
-            self._retune_window_bucket(int(num_cand), num_rays)
+            self._retune_window_bucket(
+                int(num_cand), num_rays, floor_current=floor_current
+            )
 
     def maybe_update_state(self, params: Params, key: jax.Array) -> bool:
         if self.update_occ and (self._local_step_host % self.settings.update_iter == 0):

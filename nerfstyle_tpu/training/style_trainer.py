@@ -110,6 +110,21 @@ class StyleTrainer(Trainer):
         # style_geom_cache_max_poses eviction cap.
         self._geom_cache: Dict[int, Dict] = {}
         self._sig_bucket = 8  # significant samples/ray bucket (ladder-grown)
+        # Presize from the recon checkpoint's settled two-phase kept-prefix
+        # bucket: {w > eps} ⊆ {T > t_thresh} per ray (w = alpha*T <= T), so at
+        # the default eps == t_thresh the recon bucket is an upper bound on
+        # this stage's significant-sample demand.  Starting there avoids the
+        # grow -> evict-all-caches -> rebuild cycle (each ladder move is a
+        # multi-minute XLA compile on the remote helper); the first pose
+        # build shrinks-to-fit on its exact demand counter so the upper
+        # bound doesn't tax all 200 iterations (_build_geom_cache).
+        ts = getattr(self, "_restored_trainer_static", None) or {}
+        sb = ts.get("sig_bucket_train")
+        if sb:
+            self._sig_bucket = max(self._sig_bucket, int(sb))
+            self._sig_presized = True
+        else:
+            self._sig_presized = False
         self._frame_dirs_dev = None
         # Bucket-retune fetch gating (run_iter): fetches stop for good after
         # two consecutive no-change retunes.
@@ -498,8 +513,12 @@ class StyleTrainer(Trainer):
                 self._sig_bucket,
             )
             if k_max > budget or c_max > wb:
+                # EXACT demands with floor_current: growing only what
+                # overflowed.  (Passing capacity maxima as demand inflated
+                # the non-overflowing ladder by 1.25x per retry — the r03
+                # dryrun's spurious truncation-warning ratchet.)
                 self.renderer.retune_bucket_now(
-                    max(k_max, budget), chunk, num_cand=max(c_max, wb)
+                    k_max, chunk, num_cand=c_max, floor_current=True
                 )
             if s_max > cap:
                 self._sig_bucket = bucket_for(
@@ -519,6 +538,32 @@ class StyleTrainer(Trainer):
                     "truncation", s_max / chunk, k_max / chunk, c_max / chunk,
                 )
                 break
+
+        if self._sig_presized and not self._geom_cache:
+            # First pose under a checkpoint-presized (upper-bound) bucket:
+            # shrink-to-fit on the exact demand counters so the whole epoch's
+            # fused steps don't run over a padded stream sized for the recon
+            # stage's kept-prefix.  One extra build of ONE pose, before any
+            # other pose caches exist (nothing to evict).
+            s_max = max(int(d[0]) for d in demands)
+            settled = bucket_for(s_max * 1.25 / chunk, self.settings.max_steps)
+            if settled < self._sig_bucket:
+                self.logger.info(
+                    "sig bucket shrink-to-fit: presized %d -> settled %d "
+                    "(max chunk demand %.1f/ray)",
+                    self._sig_bucket, settled, s_max / chunk,
+                )
+                self._sig_bucket = settled
+                fn = self._cache_build_fn(chunk, self._sig_bucket)
+                for i in range(n_chunks):
+                    pieces[i] = fn(
+                        self.params, bitfield, pose_dev,
+                        jax.lax.slice_in_dim(
+                            cam_dirs, i * chunk, (i + 1) * chunk
+                        ),
+                    )
+                demands = jax.device_get([(p[5], p[6], p[7]) for p in pieces])
+        self._sig_presized = False
 
         cache = {
             "xyz": jnp.concatenate([p[0] for p in pieces]),

@@ -36,6 +36,11 @@ def tiny_trainer(tmp_path_factory):
         "--grid_size", "32",
         "--max_steps", "128",
         "--max_samples_per_ray", "32",
+        # Empty-space init: post-prune sample demand stays well under the
+        # 32/ray cap above, so the steady-state truncation warning cannot
+        # fire on a green run (it is real and load-bearing when it does —
+        # VERDICT r03 #5).  Same regime as the bench (bench.py).
+        "--density_offset", "-4",
         "--update_thres", "4",
         "--max_eval_count", "1",
         "--intervals.print", "0",

@@ -37,6 +37,21 @@ def main() -> None:
     np.savez(out, **arrays)
     print(f"wrote {len(arrays)} arrays to {out}")
 
+    # SHA256 sidecar: validate_weights() (models/vgg.py) verifies every
+    # array's raw-byte digest against this at load time, so a corrupt or
+    # wrong-provenance file fails loudly instead of stylizing with
+    # silently-wrong features.
+    import hashlib
+    import json
+
+    sidecar = Path(str(out) + ".manifest.json")
+    digests = {
+        k: hashlib.sha256(np.ascontiguousarray(v).tobytes()).hexdigest()
+        for k, v in arrays.items()
+    }
+    sidecar.write_text(json.dumps({"kind": kind, "sha256": digests}, indent=1))
+    print(f"wrote checksum sidecar {sidecar}")
+
 
 if __name__ == "__main__":
     main()
