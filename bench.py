@@ -234,11 +234,23 @@ def bench_train(work: Path, data_cfg: Path, scene_info: dict):
         # tracks real progress within a chunk).
         target = warmup + converge
         t_conv = time.perf_counter()
+        rays_mark, t_mark = 0, t_conv
         while converge_done < target:
             n = min(25, target - converge_done)
             for _ in range(n):
                 trainer.run_iter()
             converge_done += n
+            if converge_done % 100 == 0:
+                _force(trainer.params["x_density_embedder"][0, 0])
+                now = time.perf_counter()
+                print(
+                    f"bench: converge {converge_done}/{target} iters,"
+                    f" {now - t_conv:.0f}s, bucket"
+                    f" {trainer.renderer._budget_bucket}/ray,"
+                    f" {(trainer.rays_trained - rays_mark) / (now - t_mark):.0f}"
+                    " rays/s over last chunk", flush=True,
+                )
+                rays_mark, t_mark = trainer.rays_trained, now
             if _elapsed() > CONVERGE_STOP * DEADLINE_S:
                 break
         _force(trainer.params["x_density_embedder"][0, 0])
@@ -272,9 +284,15 @@ def bench_train(work: Path, data_cfg: Path, scene_info: dict):
 
     trainer.save_ckpt()
     ckpt = sorted(logs.glob("*.ckpt"))[-1]
-    if not resumed:
+    converged = resumed or converge_done >= warmup + converge
+    if not resumed and converged:
         # Persist under the regime key for future runs (the driver's run
-        # after the builder's evidence run hits this path).
+        # after the builder's evidence run hits this path).  A PARTIAL
+        # convergence is never cached: resuming a half-converged (foggy,
+        # high-demand) checkpoint would poison every later run's style and
+        # render phases (measured: the r4 evidence run cached an iter-220
+        # checkpoint at 897 samples/ray demand; style and render both
+        # RESOURCE_EXHAUSTED against it).
         import shutil
 
         shutil.copyfile(ckpt, cached_ckpt)
@@ -285,7 +303,7 @@ def bench_train(work: Path, data_cfg: Path, scene_info: dict):
         "train_converge_s": round(converge_s, 1),
         "train_timed_iters": timed_done,
     }
-    return rays_done / dt, ckpt, stats
+    return rays_done / dt, ckpt, stats, converged
 
 
 def bench_style(work: Path, data_cfg: Path, ckpt: Path, result: dict):
@@ -515,7 +533,9 @@ def main():
     work = Path(os.environ.get("NERFSTYLE_BENCH_DIR", "/tmp/nerfstyle_bench"))
     data_cfg, scene_info = make_bench_scene(work)
 
-    rays_per_sec, ckpt, train_stats = bench_train(work, data_cfg, scene_info)
+    rays_per_sec, ckpt, train_stats, converged = bench_train(
+        work, data_cfg, scene_info
+    )
     result = {
         "metric": "train_rays_per_sec",
         "value": round(rays_per_sec, 1),
@@ -530,6 +550,16 @@ def main():
     }
     result.update(train_stats)
     emit(result)  # the primary metric is now on record, whatever happens next
+
+    if not converged:
+        # A half-converged checkpoint is in the foggy high-demand regime:
+        # its style/render graphs are oversized (measured OOM at 897
+        # samples/ray) and the numbers would describe a state no user runs
+        # in.  Record why and stop — the train line above is the datum.
+        result["style_skipped"] = "convergence_incomplete"
+        result["render_skipped"] = "convergence_incomplete"
+        emit(result)
+        return
 
     if not os.environ.get("NERFSTYLE_BENCH_SKIP_STYLE"):
         if _remaining() < 60.0:

@@ -103,6 +103,16 @@ class RenderSettings:
     # TPU-specific: weight threshold of the two-phase color compaction; each
     # dropped sample contributes < eps per channel.  0 = keep all w > 0.
     infer_sig_eps: float = 1e-5
+    # TPU-specific: 2-round early-terminating phase A of the two-phase
+    # renderer.  0 = single round (density branch on the whole marched
+    # stream).  k > 0: round 1 evaluates only each ray's first k marched
+    # samples; rays whose transmittance already fell below t_thresh are
+    # done (in a terminating scene that is most of them — the num_live
+    # counter measures exactly this), and round 2 evaluates just the live
+    # rays' tails.  EXACT: every skipped sample has entering T < t_thresh,
+    # so its weight is identically zero under the compositor's early-stop
+    # mask (ops/compositing.py significance) — same w, same image.
+    infer_early_k1: int = 0
 
 
 def cascade_for_bound(bound: float) -> int:
@@ -446,6 +456,8 @@ def make_two_phase_renderer(
     samples_per_ray: Optional[int] = None,
     windows_per_ray: Optional[int] = None,
     sig_per_ray: int = 8,
+    early_k1: int = 0,
+    tail_per_ray: Optional[int] = None,
     mesh=None,
 ):
     """Two-phase inference renderer: density on everything, color on the few.
@@ -480,11 +492,24 @@ def make_two_phase_renderer(
 
     Multi-device: same shard_map layout as the incremental renderer — each
     device marches and shades its own ray shard; one psum of the counters.
+
+    ``early_k1 > 0`` splits phase A itself into two rounds (the num_live
+    diagnostic showed most marched samples sit BEHIND each ray's
+    saturation point in terminating scenes): round 1 runs the density
+    branch on only each ray's first ``early_k1`` samples; a ray whose
+    optical depth over those already puts T below ``t_thresh`` can receive
+    no further weight (``significance`` masks every later sample — the
+    entering transmittance is monotone non-increasing), so round 2
+    evaluates only the surviving rays' tails, compacted to a
+    ``tail_per_ray`` capacity with the exact ``num_tail`` demand counter.
+    Unevaluated tail densities enter the weight scan as zeros, which
+    cannot change any included sample's weight — the output is EXACT,
+    not an approximation.
     """
     import dataclasses
 
     from ..models.fields import field_color
-    from ..ops.compositing import sample_weights
+    from ..ops.compositing import OPTICAL_DEPTH_CAP, sample_weights
 
     jit_cache = {}
 
@@ -498,6 +523,9 @@ def make_two_phase_renderer(
             base_plan, num_rays=chunk, budget=budget, window_budget=wb
         )
         cap = chunk * min(sig_per_ray, spr)
+        k1 = min(early_k1, spr) if early_k1 > 0 else 0
+        two_round = 0 < k1 < spr
+        tail_pr = min(tail_per_ray if tail_per_ray else spr, spr)
 
         def render_chunk(params, occ, bbox, origins, dirs):
             rays = RayBundle(origins, dirs)
@@ -506,12 +534,75 @@ def make_two_phase_renderer(
             )
             sb = march_rays(plan_c, occ, rays, nears, fars)
 
-            # Phase A: density branch over the whole marched stream; exact
-            # weights via the segment scan (identical math + NaN cap to
-            # ops/compositing.py composite_rays).
-            sigmas = field_density(
-                field_spec, params, bbox, sb.xyz, compute_dtype=compute_dtype
-            ) * density_scale
+            # Phase A: density branch; exact weights via the segment scan
+            # (identical math + NaN cap to ops/compositing.py
+            # composite_rays).
+            if not two_round:
+                sigmas = field_density(
+                    field_spec, params, bbox, sb.xyz,
+                    compute_dtype=compute_dtype,
+                ) * density_scale
+                n_tail = jnp.int32(0)
+                n_eval_a = sb.num_kept
+            else:
+                # Round 1: density on each ray's first k1 marched samples.
+                # The stream is ray-major with all valid samples in a
+                # contiguous global prefix (march_rays contract), so the
+                # within-ray rank is stream position minus the ray's start.
+                iota = jax.lax.iota(jnp.int32, budget)
+                start = jax.ops.segment_min(
+                    iota, sb.ray_id, num_segments=chunk + 1
+                )
+                rank = iota - start[sb.ray_id]
+                m1 = sb.valid & (rank < k1)
+                cap1 = min(chunk * k1, budget)
+                idx1 = compact_indices(m1, cap1, budget)
+                ok1 = idx1 < budget
+                t1 = jnp.minimum(idx1, budget - 1)
+                sig1 = field_density(
+                    field_spec, params, bbox, jnp.take(sb.xyz, t1, axis=0),
+                    compute_dtype=compute_dtype,
+                ) * density_scale
+                sig1 = jnp.where(ok1, sig1, 0.0)
+                rid1 = jnp.where(ok1, jnp.take(sb.ray_id, t1), chunk)
+
+                # A ray whose entering transmittance after its round-1
+                # samples is already below t_thresh can receive no further
+                # weight (significance masks every later sample).  Same
+                # per-sample optical-depth law as significance(); an
+                # epsilon disagreement at the threshold boundary is
+                # harmless — the final scan recomputes inclusion
+                # canonically, and a zero-filled sigma gives alpha = 0.
+                sdt1 = jnp.minimum(sig1 * dt, OPTICAL_DEPTH_CAP)
+                od1 = jax.ops.segment_sum(
+                    sdt1, rid1, num_segments=chunk + 1
+                )
+                alive = jnp.exp(-od1) >= t_thresh
+
+                # Round 2: only the live rays' tails.
+                m2 = sb.valid & (rank >= k1) & alive[sb.ray_id]
+                n_tail = jnp.sum(m2, dtype=jnp.int32)
+                cap2 = min(chunk * tail_pr, budget)
+                idx2 = compact_indices(m2, cap2, budget)
+                ok2 = idx2 < budget
+                t2 = jnp.minimum(idx2, budget - 1)
+                sig2 = field_density(
+                    field_spec, params, bbox, jnp.take(sb.xyz, t2, axis=0),
+                    compute_dtype=compute_dtype,
+                ) * density_scale
+                sig2 = jnp.where(ok2, sig2, 0.0)
+                n_eval_a = jnp.sum(m1, dtype=jnp.int32) + jnp.minimum(
+                    n_tail, cap2
+                )
+
+                # Unevaluated slots stay zero: every such sample either has
+                # entering T < t_thresh (excluded by the scan) or gets
+                # alpha = 1 - exp(0) = 0 — exact either way.
+                sigmas = (
+                    jnp.zeros((budget + 1,), sig1.dtype)
+                    .at[jnp.where(ok1, idx1, budget)].set(sig1)
+                    .at[jnp.where(ok2, idx2, budget)].set(sig2)
+                )[:budget]
             # Early-stop mask per raymarching.cu:1218-1227.
             w, included = sample_weights(
                 sigmas, sb.ray_id, sb.valid, chunk, dt, t_thresh
@@ -555,12 +646,13 @@ def make_two_phase_renderer(
                 "trans_map": depth,
                 "classes": acc_img[:, 3:],
                 "weights_sum": acc_ws,
-                # Field evaluations: density on the stream + color on the few.
-                "num_points": sb.num_kept + n_sig,
+                # Field evaluations: density (both rounds) + color on the few.
+                "num_points": n_eval_a + n_sig,
                 # Exact demand counters for the caller's grow-and-retry.
                 "num_marched": sb.num_kept,
                 "num_cand": sb.num_cand,
                 "num_sig": n_sig,
+                "num_tail": n_tail,
                 # Diagnostic: samples BEFORE each ray's T < t_thresh cutoff —
                 # what an early-termination-aware phase A would evaluate
                 # (the incremental loop's evaluation count, round granularity
@@ -589,7 +681,7 @@ def make_two_phase_renderer(
                 out = local(params, occ, bbox, origins, dirs)
                 for k in (
                     "num_points", "num_marched", "num_cand", "num_sig",
-                    "num_live",
+                    "num_live", "num_tail",
                 ):
                     out[k] = jax.lax.psum(out[k], "data")
                 return out
@@ -608,6 +700,7 @@ def make_two_phase_renderer(
                     "num_cand": P(),
                     "num_sig": P(),
                     "num_live": P(),
+                    "num_tail": P(),
                 },
                 check_vma=False,
             )
@@ -690,6 +783,9 @@ class Renderer:
         # Two-phase color compaction bucket (significant samples/ray); grown
         # on the exact num_sig counter like the march buckets above.
         self._infer_sig_bucket = 8
+        # 2-round phase A tail capacity (live rays' tail samples/ray,
+        # infer_early_k1 > 0 only); grown on the exact num_tail counter.
+        self._infer_tail_bucket = 16
         # Candidate-window capacity (windows/ray) of the two-stage march;
         # starts at the ladder max (~the full window domain: safe, slower)
         # and shrinks with hysteresis as observed candidate counts allow.
@@ -992,7 +1088,9 @@ class Renderer:
         spr = self._infer_spr_bucket
         wpr = self._infer_win_bucket
         sigb = min(self._infer_sig_bucket, spr)
-        key = ("two_phase", spr, wpr, sigb, id(self.mesh))
+        k1 = self.settings.infer_early_k1
+        tailb = min(self._infer_tail_bucket, spr) if 0 < k1 < spr else spr
+        key = ("two_phase", spr, wpr, sigb, k1, tailb, id(self.mesh))
         if key not in self._render_jit_cache:
             plan = self.make_plan(1, budget=1)  # re-chunked inside
             self._render_jit_cache[key] = make_two_phase_renderer(
@@ -1000,7 +1098,8 @@ class Renderer:
                 self.settings.density_scale, self.compute_dtype,
                 sig_eps=self.settings.infer_sig_eps,
                 samples_per_ray=spr, windows_per_ray=wpr,
-                sig_per_ray=sigb, mesh=self.mesh,
+                sig_per_ray=sigb, early_k1=k1, tail_per_ray=tailb,
+                mesh=self.mesh,
             )
         return self._render_jit_cache[key](
             params, self.occ_field, self.bbox, rays, self.raymarch_channels,
@@ -1014,13 +1113,13 @@ class Renderer:
         return self._render_chunk_incremental(params, rays, round_size)
 
     def _grow_infer_buckets(
-        self, n: int, marched: int, cand: int, sig: int = 0
+        self, n: int, marched: int, cand: int, sig: int = 0, tail: int = 0
     ) -> bool:
         """Grow the march-bucket ladders to cover observed demand on ``n``
         rays.  Returns True if any bucket grew."""
         before = (
             self._infer_spr_bucket, self._infer_win_bucket,
-            self._infer_sig_bucket,
+            self._infer_sig_bucket, self._infer_tail_bucket,
         )
         if marched > n * self._infer_spr_bucket:
             self._infer_spr_bucket = bucket_for(
@@ -1035,9 +1134,13 @@ class Renderer:
             self._infer_sig_bucket = bucket_for(
                 sig * 1.25 / n, self.settings.max_steps
             )
+        if tail > n * min(self._infer_tail_bucket, self._infer_spr_bucket):
+            self._infer_tail_bucket = bucket_for(
+                tail * 1.25 / n, self.settings.max_steps
+            )
         return (
             self._infer_spr_bucket, self._infer_win_bucket,
-            self._infer_sig_bucket,
+            self._infer_sig_bucket, self._infer_tail_bucket,
         ) != before
 
     def _infer_chunk_cap(self) -> int:
@@ -1080,7 +1183,7 @@ class Renderer:
         for k in subs[0]:
             if k in merged:
                 continue
-            if k in ("num_marched", "num_cand", "num_sig"):
+            if k in ("num_marched", "num_cand", "num_sig", "num_tail"):
                 # Demand counters answer "does the CURRENT bucket cover one
                 # dispatch?" — scale the worst sub-chunk's per-ray demand to
                 # piece size so the caller's piece-level capacity check stays
@@ -1121,16 +1224,21 @@ class Renderer:
         for _ in range(len(_WINDOW_BUCKETS) + 8):  # ladder is finite
             demands = jax.device_get(
                 [
-                    (p["num_marched"], p["num_cand"], p.get("num_sig", 0))
+                    (
+                        p["num_marched"], p["num_cand"],
+                        p.get("num_sig", 0), p.get("num_tail", 0),
+                    )
                     for p in pieces
                 ]
             )
             spr, wpr = self._infer_spr_bucket, self._infer_win_bucket
             sigb = min(self._infer_sig_bucket, spr)
+            tailb = min(self._infer_tail_bucket, spr)
             over = [
-                i for i, (m, c, s) in enumerate(demands)
+                i for i, (m, c, s, t) in enumerate(demands)
                 if m > len(piece_rays[i]) * spr or c > len(piece_rays[i]) * wpr
                 or s > len(piece_rays[i]) * sigb
+                or t > len(piece_rays[i]) * tailb
             ]
             if not over:
                 return pieces
@@ -1140,6 +1248,7 @@ class Renderer:
                 max(int(demands[i][0]) for i in over),
                 max(int(demands[i][1]) for i in over),
                 max(int(demands[i][2]) for i in over),
+                max(int(demands[i][3]) for i in over),
             )
             if not grew:
                 import warnings
@@ -1177,13 +1286,15 @@ class Renderer:
             marched = int(out["num_marched"])
             cand = int(out["num_cand"])
             sig = int(out.get("num_sig", 0))
+            tail = int(out.get("num_tail", 0))
             if (
                 marched <= n * self._infer_spr_bucket
                 and cand <= n * self._infer_win_bucket
                 and sig <= n * min(self._infer_sig_bucket, self._infer_spr_bucket)
+                and tail <= n * min(self._infer_tail_bucket, self._infer_spr_bucket)
             ):
                 return out
-            if not self._grow_infer_buckets(n, marched, cand, sig):
+            if not self._grow_infer_buckets(n, marched, cand, sig, tail):
                 # Demand exceeds the top ladder rung: the buckets cannot
                 # grow further, so a retry would loop forever on the same
                 # truncating graph.  Accept the truncation loudly.
@@ -1258,7 +1369,7 @@ class Renderer:
             # Device-side sum: chunks dispatch back-to-back with no host
             # fetch between them (each fetch is a full tunnel round trip).
             out["num_points"] = sum(p["num_points"] for p in pieces)
-            for k in ("num_cand", "num_marched", "num_sig", "num_live"):
+            for k in ("num_cand", "num_marched", "num_sig", "num_live", "num_tail"):
                 if all(k in p for p in pieces):  # mode-dependent counters
                     out[k] = sum(p[k] for p in pieces)
 

@@ -213,6 +213,80 @@ class TestTwoPhaseRender:
                 np.asarray(a[key]), np.asarray(b[key]), rtol=2e-4, atol=2e-5
             )
 
+    def test_early_round_matches_single_round(self, setup):
+        """2-round phase A (early_k1) is EXACT: every sample it skips has
+        entering T < t_thresh (weight identically zero under the
+        compositor's early-stop mask), so the output matches the
+        single-round two-phase renderer."""
+        spec, params, plan, bbox, bits, sd, rays = setup
+        one = make_two_phase_renderer(
+            spec, plan, 1e-4, 1.0, sig_eps=0.0, sig_per_ray=plan.max_steps
+        )
+        two = make_two_phase_renderer(
+            spec, plan, 1e-4, 1.0, sig_eps=0.0, sig_per_ray=plan.max_steps,
+            early_k1=4, tail_per_ray=plan.max_steps,
+        )
+        a = one(params, OccField(bits, sd), bbox, rays, 6)
+        b = two(params, OccField(bits, sd), bbox, rays, 6)
+        assert int(a["num_marched"]) == int(b["num_marched"])
+        assert int(a["num_sig"]) == int(b["num_sig"])
+        assert int(b["num_tail"]) >= 0
+        # The tail round only evaluates live rays' samples past k1, so the
+        # total evaluation count cannot exceed the single-round count.
+        assert int(b["num_points"]) <= int(a["num_points"])
+        for key in ("rgb_map", "weights_sum", "classes", "trans_map"):
+            np.testing.assert_allclose(
+                np.asarray(a[key]), np.asarray(b[key]),
+                rtol=2e-4, atol=2e-5, err_msg=key,
+            )
+
+    def test_early_round_tail_overflow_reports_demand(self, setup):
+        """An undersized tail capacity truncates but reports the exact
+        num_tail demand; regrowing to cover it reproduces the reference
+        output."""
+        spec, params, plan, bbox, bits, sd, rays = setup
+        small = make_two_phase_renderer(
+            spec, plan, 1e-4, 1.0, sig_per_ray=plan.max_steps,
+            early_k1=2, tail_per_ray=1,
+        )
+        out_small = small(params, OccField(bits, sd), bbox, rays, 6)
+        n_tail = int(out_small["num_tail"])
+        assert n_tail > 32 * 1  # the fixture scene has deep live rays
+        big = make_two_phase_renderer(
+            spec, plan, 1e-4, 1.0, sig_per_ray=plan.max_steps,
+            early_k1=2, tail_per_ray=-(-n_tail // 32) + 1,
+        )
+        out_big = big(params, OccField(bits, sd), bbox, rays, 6)
+        assert int(out_big["num_tail"]) == n_tail
+        full = render_rays(
+            spec, plan, params, OccField(bits, sd), bbox, rays,
+            t_thresh=1e-4, density_scale=1.0,
+        )
+        np.testing.assert_allclose(
+            np.asarray(full["rgb_map"]), np.asarray(out_big["rgb_map"]),
+            rtol=2e-4, atol=1e-3,  # 1e-5 default eps x 128 steps
+        )
+
+    def test_early_round_sharded_matches_unsharded(self, setup):
+        from nerfstyle_tpu.parallel.mesh import make_mesh
+
+        spec, params, plan, bbox, bits, sd, rays = setup
+        kw = dict(
+            sig_per_ray=64, early_k1=4, tail_per_ray=plan.max_steps,
+        )
+        base = make_two_phase_renderer(spec, plan, 1e-4, 1.0, **kw)
+        sharded = make_two_phase_renderer(
+            spec, plan, 1e-4, 1.0, mesh=make_mesh(8), **kw
+        )
+        a = base(params, OccField(bits, sd), bbox, rays, 6)
+        b = sharded(params, OccField(bits, sd), bbox, rays, 6)
+        for counter in ("num_points", "num_marched", "num_sig", "num_tail"):
+            assert int(a[counter]) == int(b[counter]), counter
+        for key in ("rgb_map", "weights_sum", "classes", "trans_map"):
+            np.testing.assert_allclose(
+                np.asarray(a[key]), np.asarray(b[key]), rtol=2e-4, atol=2e-5
+            )
+
     def test_sig_overflow_reports_exact_demand(self, setup):
         """An undersized sig capacity truncates but reports the true count so
         the caller's ladder can grow; the grown render matches."""
