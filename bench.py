@@ -475,6 +475,11 @@ def bench_render(work: Path, data_cfg: Path, ckpt: Path, out_w=1008, out_h=756):
         infer_two_phase=(
             os.environ.get("NERFSTYLE_RENDER_MODE", "two_phase") != "incremental"
         ),
+        infer_early_k1=int(
+            os.environ.get(
+                "NERFSTYLE_EARLY_K1", str(RenderSettings.infer_early_k1)
+            )
+        ),
     )
     renderer = Renderer(
         field_spec, train_set.bbox, settings, intr, float(dataset_cfg.bound),
@@ -504,7 +509,7 @@ def bench_render(work: Path, data_cfg: Path, ckpt: Path, out_w=1008, out_h=756):
             break
     dt = time.perf_counter() - t0
     counters = {
-        k: int(out[k]) for k in ("num_marched", "num_live", "num_sig")
+        k: int(out[k]) for k in ("num_marched", "num_live", "num_sig", "num_tail")
         if k in out
     }
     counters["mode"] = "two_phase" if settings.infer_two_phase else "incremental"

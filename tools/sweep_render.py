@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--rounds", default="16,32,64")
     ap.add_argument("--chunks", default="8192,32768")
     ap.add_argument(
+        "--early-k1", default="0",
+        help="two_phase only: infer_early_k1 values (0 = single round)",
+    )
+    ap.add_argument(
         "--modes", default="two_phase,incremental",
         help="two_phase sweeps chunks only (bucket/round unused)",
     )
@@ -104,23 +108,24 @@ def main():
     modes = args.modes.split(",")
     combos = []
     if "two_phase" in modes:
-        # bucket/round are incremental-loop knobs; only chunk matters here.
+        # bucket/round are incremental-loop knobs; chunk + early_k1 matter.
         combos += [
-            ("two_phase", 0, 0, c)
+            ("two_phase", 0, 0, c, k1)
             for c in (int(x) for x in args.chunks.split(","))
+            for k1 in (int(x) for x in args.early_k1.split(","))
         ]
     if "incremental" in modes:
         combos += [
-            ("incremental", b, r, c)
+            ("incremental", b, r, c, 0)
             for b in (int(x) for x in args.buckets.split(","))
             for r in (int(x) for x in args.rounds.split(","))
             for c in (int(x) for x in args.chunks.split(","))
         ]
-    print(f"{'mode':>12} {'bucket':>7} {'round':>6} {'chunk':>7} "
+    print(f"{'mode':>12} {'bucket':>7} {'round':>6} {'chunk':>7} {'k1':>4} "
           f"{'ms/frame':>10} {'FPS':>7} {'Msamples':>9} {'Mmarched':>9} "
-          f"{'Mlive':>7} {'Msig':>6}")
+          f"{'Mlive':>7} {'Msig':>6} {'Mtail':>6}")
     results = []
-    for mode, bucket, rnd, chunk in combos:
+    for mode, bucket, rnd, chunk, k1 in combos:
         settings = RenderSettings(
             grid_size=render_cfg.grid_size,
             update_iter=render_cfg.update_iter,
@@ -139,6 +144,7 @@ def main():
             infer_round_size=rnd or 32,
             infer_chunk=chunk,
             infer_two_phase=mode == "two_phase",
+            infer_early_k1=k1,
         )
         renderer = Renderer(
             field_spec, train_set.bbox, settings, intr,
@@ -164,21 +170,25 @@ def main():
                 ts.append(time.perf_counter() - t0)
             ms = float(np.median(ts)) * 1e3
             extra = ""
-            for k, wd in (("num_marched", 9), ("num_live", 7), ("num_sig", 6)):
+            for k, wd in (
+                ("num_marched", 9), ("num_live", 7), ("num_sig", 6),
+                ("num_tail", 6),
+            ):
                 v = out.get(k)
                 extra += f" {'-' * 1:>{wd}}" if v is None else (
                     f" {int(v) / 1e6:>{wd}.1f}"
                 )
-            print(f"{mode:>12} {bucket:>7} {rnd:>6} {chunk:>7} {ms:>10.0f} "
-                  f"{1e3 / ms:>7.3f} {npts / 1e6:>9.1f}{extra}", flush=True)
-            results.append((mode, bucket, rnd, chunk, ms))
+            print(f"{mode:>12} {bucket:>7} {rnd:>6} {chunk:>7} {k1:>4} "
+                  f"{ms:>10.0f} {1e3 / ms:>7.3f} {npts / 1e6:>9.1f}{extra}",
+                  flush=True)
+            results.append((mode, bucket, rnd, chunk, k1, ms))
         except Exception as e:  # OOM etc: report and continue
-            print(f"{mode:>12} {bucket:>7} {rnd:>6} {chunk:>7}   "
+            print(f"{mode:>12} {bucket:>7} {rnd:>6} {chunk:>7} {k1:>4}   "
                   f"FAILED: {str(e)[:60]}", flush=True)
     if results:
-        m, b, r, c, ms = min(results, key=lambda t: t[4])
-        print(f"best: mode={m} bucket={b} round={r} chunk={c} ({ms:.0f} ms, "
-              f"{1e3 / ms:.3f} FPS)")
+        m, b, r, c, k1, ms = min(results, key=lambda t: t[-1])
+        print(f"best: mode={m} bucket={b} round={r} chunk={c} k1={k1} "
+              f"({ms:.0f} ms, {1e3 / ms:.3f} FPS)")
 
 
 if __name__ == "__main__":
