@@ -96,6 +96,16 @@ class RenderSettings:
     # (measured: 25.7 GB allocation, remote-compile OOM, at 8192 x 1024).
     # 4.2M (= the known-good 8192 x 512 regime) is the default.
     infer_sample_budget: int = 4_194_304
+    # TPU-specific: per-dispatch ray-count ceiling for the AUTO-grown chunk.
+    # The budget above is two-sided: when the tuned samples/ray bucket is
+    # SMALL (converged, pruned scene at 32-64 samples/ray), an 8192-ray
+    # dispatch uses a fraction of the known-good sample envelope while the
+    # frame pays ~93 dispatches at 1008x756 (each a remote-tunnel call).
+    # render() therefore sizes the dispatch chunk as the largest power of two
+    # with chunk * spr_bucket <= infer_sample_budget, up to this ceiling —
+    # fewer, larger dispatches at identical per-dispatch memory.  Set equal
+    # to infer_chunk to pin the legacy fixed-chunk behavior.
+    infer_chunk_max: int = 65536
     # TPU-specific: two-phase inference (density branch on the whole marched
     # stream, color branch only on weight-significant samples) instead of the
     # incremental alive-ray loop.  See make_two_phase_renderer.
@@ -1146,13 +1156,22 @@ class Renderer:
     def _infer_chunk_cap(self) -> int:
         """Rays per inference dispatch at the CURRENT samples/ray bucket:
         the largest power of two with chunk * bucket <= infer_sample_budget
-        (bounded by infer_chunk, floored at 256).  High-demand regimes thus
-        trade dispatch count for per-dispatch memory instead of compiling
-        graphs whose encoder-gather temps exceed HBM."""
+        (floored at 256, ceiled at max(infer_chunk, infer_chunk_max)).  The
+        budget cuts BOTH ways: high-demand regimes shrink the chunk so the
+        per-dispatch march stream stays within HBM (instead of compiling
+        graphs whose encoder-gather temps exceed it), and low-demand regimes
+        (converged scene, 32-64 samples/ray) GROW it past infer_chunk so a
+        1008x756 frame costs ~12 dispatches instead of ~93 at identical
+        per-dispatch memory.  The candidate-window buffer (not covered by the
+        sample budget) gets 4x the envelope — windows are ~8 B vs ~512 B of
+        encoder-gather traffic per sample."""
         spr = max(1, self._infer_spr_bucket)
-        cap = max(256, self.settings.infer_sample_budget // spr)
+        wpr = max(1, self._infer_win_bucket)
+        budget = self.settings.infer_sample_budget
+        cap = max(256, min(budget // spr, 4 * budget // wpr))
+        hi = max(self.settings.infer_chunk, self.settings.infer_chunk_max)
         chunk = 256
-        while chunk * 2 <= min(cap, self.settings.infer_chunk):
+        while chunk * 2 <= min(cap, hi):
             chunk *= 2
         return chunk
 
@@ -1325,13 +1344,18 @@ class Renderer:
         """
         # Precrop is handled by the trainer's step cache (training/trainer.py
         # _build_train_step); this surface always renders the full window.
-        if chunk is None:
+        chunk_auto = chunk is None
+        if chunk_auto:
             chunk = self.settings.infer_chunk
         if not training:
-            # Bound chunk * samples/ray-bucket per dispatch (HBM; see
-            # infer_sample_budget) — a checkpoint restored into a high-demand
-            # regime would otherwise compile an oversized graph on frame 1.
-            chunk = min(chunk, self._infer_chunk_cap())
+            # Size chunk * samples/ray-bucket to the per-dispatch HBM
+            # envelope (see infer_sample_budget / infer_chunk_max): SHRINK
+            # under high demand (a checkpoint restored into a foggy regime
+            # would otherwise compile an oversized graph on frame 1), GROW
+            # past infer_chunk when demand is low so the frame pays fewer
+            # dispatches.  An explicit caller-chosen chunk is only shrunk.
+            cap = self._infer_chunk_cap()
+            chunk = cap if chunk_auto else min(chunk, cap)
         rays, target = generate_rays(
             pose, self.intr, image, patch=patch,
             num_rays=num_rays, camera_flip=self.settings.flip_camera, key=key,
