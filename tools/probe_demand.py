@@ -66,6 +66,18 @@ def main():
             now = time.perf_counter()
             r = trainer.renderer
             occ_frac = float(np.asarray(r.occ_state.bitfield.mean()))
+            # Grid shape diagnostics: where the fog band sits relative to
+            # the binarization threshold min(mean, density_thresh), and
+            # whether the walls (the high quantiles) are learning.
+            grid = np.asarray(r.occ_state.density_grid)
+            pos = np.clip(grid, 0.0, None)
+            mean_d = float(pos.mean())
+            thresh = min(mean_d, r.settings.density_thresh)
+            qs = {
+                f"q{q}_c{c}": float(np.quantile(grid[c], q / 100.0))
+                for c in range(grid.shape[0])
+                for q in (50, 90, 99)
+            }
             print(json.dumps({
                 "iter": i,
                 "s_per_iter": round((now - t_last) / report, 3),
@@ -82,6 +94,9 @@ def main():
                 ),
                 "bucket": r._budget_bucket,
                 "occ_frac": round(occ_frac, 4),
+                "mean_density": round(mean_d, 6),
+                "thresh": round(thresh, 6),
+                **{k: round(v, 6) for k, v in qs.items()},
             }), flush=True)
             rays_last = trainer.rays_trained
             t_last = time.perf_counter()
