@@ -14,7 +14,7 @@ a timeout or a late-phase exception can no longer lose the earlier metrics.
 Wall-clock discipline (the round-3 bench was killed by the driver's timeout
 before emitting a single number, BENCH_r03.json rc=124):
 
-  * NERFSTYLE_BENCH_DEADLINE_S (default 2400) is a soft global budget.  Each
+  * NERFSTYLE_BENCH_DEADLINE_S (default 3600) is a soft global budget.  Each
     phase checks it and degrades gracefully — convergence stops early, the
     style epoch extrapolates from the poses it measured, the render times
     fewer frames — instead of dying silent.

@@ -262,7 +262,13 @@ class Config:
                     parser.add_argument(*argnames(key), type=type(default[0]) if default else str,
                                         nargs="*", default=list(default), help=docstr, dest=key)
                 else:
-                    parser.add_argument(*argnames(key), type=type(default), default=default,
+                    # Type from the ANNOTATION, not the default: a YAML layer
+                    # may supply `10` for a float field, and type(default)
+                    # would then reject `--flag 0.05` as an invalid int.
+                    base = tp if tp in (int, float, str) else (
+                        str if tp is Path else type(default)
+                    )
+                    parser.add_argument(*argnames(key), type=base, default=default,
                                         help=docstr, dest=key)
 
         add_fields(cls, "")

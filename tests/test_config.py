@@ -73,6 +73,13 @@ class TestLayering:
         _, nargs = TrainConfig.load_nargs(nargs=["--bogus-flag", "3"])
         assert "--bogus-flag" in nargs
 
+    def test_float_field_accepts_float_despite_int_yaml_default(self):
+        # cfgs/renderer/default.yaml says `density_thresh: 10` (an int);
+        # the CLI type must come from the float annotation, not the YAML
+        # default, or `--density_thresh 0.05` dies as an invalid int.
+        cfg, _ = RendererConfig.load_nargs(nargs=["--density_thresh", "0.05"])
+        assert cfg.density_thresh == pytest.approx(0.05)
+
     def test_arg_chaining_across_groups(self):
         # Mirrors trainers/base.py:99-108: each group consumes what it knows.
         nargs = ["--num_iterations", "10", "--grid_size", "64"]
