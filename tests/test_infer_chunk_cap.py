@@ -20,12 +20,20 @@ from nerfstyle_tpu.core.types import make_rays
 from nerfstyle_tpu.render.renderer import Renderer, RenderSettings
 
 
-def _stub(spr_bucket, chunk=8192, budget=4_194_304):
+def _stub(spr_bucket, chunk=8192, budget=4_194_304, win_bucket=None,
+          chunk_max=None):
     settings = RenderSettings(
         grid_size=16, max_steps=1024,
         infer_chunk=chunk, infer_sample_budget=budget,
+        infer_chunk_max=chunk if chunk_max is None else chunk_max,
     )
-    return SimpleNamespace(settings=settings, _infer_spr_bucket=spr_bucket)
+    return SimpleNamespace(
+        settings=settings,
+        _infer_spr_bucket=spr_bucket,
+        # Candidate-window bucket: defaults to the samples/ray bucket (its
+        # lower bound in the real renderer, where windows >= kept samples).
+        _infer_win_bucket=spr_bucket if win_bucket is None else win_bucket,
+    )
 
 
 class TestInferChunkCap:
@@ -46,8 +54,30 @@ class TestInferChunkCap:
             assert cap & (cap - 1) == 0
             assert cap == 256 or cap * spr <= 4_194_304
 
-    def test_never_exceeds_configured_chunk(self):
+    def test_never_exceeds_chunk_max(self):
         assert Renderer._infer_chunk_cap(_stub(1, chunk=2048)) == 2048
+
+    def test_low_demand_grows_chunk_past_infer_chunk(self):
+        # Converged regime (64/ray): the chunk auto-grows past infer_chunk
+        # within the same sample budget, up to infer_chunk_max.
+        assert Renderer._infer_chunk_cap(
+            _stub(64, chunk=8192, chunk_max=65536)
+        ) == 65536
+        assert Renderer._infer_chunk_cap(
+            _stub(256, chunk=8192, chunk_max=65536)
+        ) == 16384
+
+    def test_window_bucket_bounds_chunk_independently(self):
+        # Tiny kept-samples bucket but a huge candidate window: the window
+        # envelope (4x the sample budget) must shrink the chunk even though
+        # spr alone would allow the maximum.
+        assert Renderer._infer_chunk_cap(
+            _stub(8, budget=1 << 20, win_bucket=1 << 14)
+        ) == 256
+        # 4 * 2^20 // 2^10 = 4096 < spr cap (2^20 // 8) -> window governs.
+        assert Renderer._infer_chunk_cap(
+            _stub(8, budget=1 << 20, win_bucket=1 << 10)
+        ) == 4096
 
 
 class TestRenderPieceMerge:
