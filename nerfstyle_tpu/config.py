@@ -379,6 +379,17 @@ class HashGridConfig(Config):
     """Maximum resolution coefficient. Multiply with bounding box diameter to
     obtain resolution for finest level."""
 
+    simplex_from: int = -1
+    """TPU extension: first grid level interpolated on the Freudenthal
+    SIMPLEX (4 tetrahedron vertices) instead of the trilinear cube (8
+    corners); -1 disables (all trilinear, reference parity).  Fine levels
+    dominate the encoder's random-row gather cost on TPU (~13-21 ns/row
+    regardless of width), so simplex halves their forward gather and
+    backward contribution streams while the field stays C0; coarse levels
+    below this index keep trilinear so ray-coherent corner dedup still
+    applies (ops/hashgrid.py).  Changes the learned encoding function —
+    checkpoints record it and are not interchangeable across values."""
+
 
 @dataclass
 class NetworkConfig(Config):

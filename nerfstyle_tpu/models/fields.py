@@ -95,9 +95,15 @@ def make_grid_spec(
     min_res: int,
     max_res_coeff: float,
     max_bound: float,
+    simplex_from: int = -1,
 ) -> HashGridSpec:
     """Grid spec from NetworkConfig.pos_enc + scene bound
-    (reference get_grid_encoder, networks/tcnn_nerf.py:14-35)."""
+    (reference get_grid_encoder, networks/tcnn_nerf.py:14-35).
+
+    ``simplex_from``: first level interpolated on the Freudenthal simplex (4
+    gathered rows/sample instead of 8); -1 = all trilinear (reference
+    parity).  See HashGridSpec.simplex_from / HashGridConfig.simplex_from.
+    """
     import numpy as np
 
     max_res = max_res_coeff * max_bound
@@ -108,6 +114,7 @@ def make_grid_spec(
         base_resolution=min_res,
         per_level_scale=per_lvl_scale,
         log2_hashmap_size=hashmap_size,
+        simplex_from=simplex_from,
     )
 
 

@@ -61,6 +61,17 @@ class HashGridSpec:
     resolutions: Tuple[int, ...]  # kernel (floor) law per level
     table_sizes: Tuple[int, ...]
     offsets: Tuple[int, ...]  # len L+1, in table rows
+    # First level interpolated on the Freudenthal SIMPLEX (4 tetra vertices)
+    # instead of the trilinear cube (8 corners); -1 disables (all trilinear,
+    # reference parity).  Levels >= simplex_from gather HALF the random table
+    # rows per sample — the dominant cost on TPU, where a row gather costs
+    # ~13-21 ns regardless of row width (docs/PERFORMANCE.md) — while the
+    # field stays C0 (the Kuhn/Freudenthal triangulation is globally
+    # consistent across cube faces).  Coarse levels keep trilinear so the
+    # ray-coherent corner dedup (which amortizes their 8 rows across runs and
+    # beats the 4-row simplex while run rates are low) still applies; dedup
+    # plans never cover simplex levels (see dedup_plan).
+    simplex_from: int = -1
 
     @property
     def total_params(self) -> int:
@@ -70,6 +81,13 @@ class HashGridSpec:
     def output_dim(self) -> int:
         return self.num_levels * self.level_dim
 
+    @property
+    def simplex_start(self) -> int:
+        """First simplex level (== num_levels when disabled)."""
+        if self.simplex_from < 0:
+            return self.num_levels
+        return min(self.simplex_from, self.num_levels)
+
 
 def hashgrid_spec(
     num_levels: int = 16,
@@ -78,6 +96,7 @@ def hashgrid_spec(
     per_level_scale: float = 2.0,
     log2_hashmap_size: int = 19,
     desired_resolution: float = None,
+    simplex_from: int = -1,
 ) -> HashGridSpec:
     """Build the static spec (mirrors GridEncoder.__init__, grid.py:104-148)."""
     if desired_resolution is not None:
@@ -112,6 +131,7 @@ def hashgrid_spec(
         resolutions=tuple(resolutions),
         table_sizes=tuple(table_sizes),
         offsets=tuple(offsets),
+        simplex_from=simplex_from,
     )
 
 
@@ -126,6 +146,63 @@ def hashgrid_init(key: jax.Array, spec: HashGridSpec, dtype=jnp.float32) -> jnp.
 _CORNERS = np.array(
     [[(c >> d) & 1 for d in range(3)] for c in range(8)], dtype=np.int32
 )
+
+
+# ---------------------------------------------------------------------------
+# Freudenthal-simplex interpolation (the 4-vertex alternative to trilinear)
+#
+# The containing tetrahedron of a point with cell fractions f is the Kuhn
+# simplex of the permutation that sorts f descending: vertices v0 = floor,
+# v_k = v_{k-1} + e_{axis with k-th largest fraction}, v3 = floor + 1, with
+# barycentric weights (1 - s1, s1 - s2, s2 - s3, s3) for sorted fractions
+# s1 >= s2 >= s3.  This triangulation is globally consistent (C0 across cell
+# AND cube faces: the weight of any vertex not shared by the adjacent simplex
+# vanishes on the shared face), and costs 4 random table rows per sample
+# instead of 8 — the dominant TPU cost (see HashGridSpec.simplex_from).
+# ---------------------------------------------------------------------------
+
+
+def _simplex_ranks(fx, fy, fz):
+    """Strict descending rank (0 = largest) of each axis fraction; ties break
+    x before y before z so ranks are always a permutation of {0, 1, 2}."""
+    rx = (fy > fx).astype(jnp.float32) + (fz > fx).astype(jnp.float32)
+    ry = (fx >= fy).astype(jnp.float32) + (fz > fy).astype(jnp.float32)
+    rz = (fx >= fz).astype(jnp.float32) + (fy >= fz).astype(jnp.float32)
+    return rx, ry, rz
+
+
+def _simplex_sorted(fx, fy, fz):
+    """Fractions sorted descending (s1 >= s2 >= s3), elementwise."""
+    s1 = jnp.maximum(fx, jnp.maximum(fy, fz))
+    s3 = jnp.minimum(fx, jnp.minimum(fy, fz))
+    return s1, fx + fy + fz - s1 - s3, s3
+
+
+def _simplex_weights8(spec: "HashGridSpec", x: jnp.ndarray, lv0: int):
+    """Simplex weights on the 8-corner slot layout for levels >= lv0.
+
+    Corner with bits b carries barycentric weight w_m (m = popcount(b)) iff
+    its bit pattern selects exactly the top-m ranked axes — i.e. it is one of
+    the 4 tetra vertices — else 0.  Lets the slow/reference path
+    (:func:`corner_indices_weights` + ``_encode_from_indices``) evaluate the
+    simplex function with unchanged indices; only weights differ.  Rank-4
+    intermediates are fine here — this path never runs hot."""
+    res = np.array(spec.resolutions[lv0:], np.float32)
+    scale = jnp.asarray(res)
+    pos = x[:, None, :] * scale[None, :, None]  # [B, L', 3]
+    pg = jnp.clip(jnp.floor(pos), 0.0, jnp.asarray(res - 1.0)[None, :, None])
+    frac = pos - pg
+    fx, fy, fz = frac[..., 0], frac[..., 1], frac[..., 2]
+    ranks = jnp.stack(_simplex_ranks(fx, fy, fz), axis=-1)  # [B, L', 3]
+    s1, s2, s3 = _simplex_sorted(fx, fy, fz)
+    wm = jnp.stack([1.0 - s1, s1 - s2, s2 - s3, s3], axis=-1)  # [B, L', 4]
+    m = _CORNERS.sum(axis=1)  # [8] static popcounts
+    incl = ranks[:, :, None, :] < jnp.asarray(m.astype(np.float32))[
+        None, None, :, None
+    ]  # [B, L', 8, 3]
+    bits_on = jnp.asarray(_CORNERS[None, None] == 1)
+    match = jnp.all(incl == bits_on, axis=-1)  # [B, L', 8]
+    return jnp.where(match, wm[:, :, m], 0.0)
 
 
 def _all_levels_hashed(spec: HashGridSpec, style: int) -> bool:
@@ -189,7 +266,7 @@ def corner_indices_weights(spec: HashGridSpec, x: jnp.ndarray, style: int = 0):
             1.0 - frac[:, :, None, :],
         )
         weights = jnp.prod(w, axis=-1)  # [B, L, 8]
-        return flat_idx, weights, oob
+        return flat_idx, _apply_simplex8(spec, x, weights), oob
 
     all_idx, all_w = [], []
     for lvl in range(spec.num_levels):
@@ -212,7 +289,18 @@ def corner_indices_weights(spec: HashGridSpec, x: jnp.ndarray, style: int = 0):
 
     flat_idx = jnp.stack(all_idx, axis=1)
     weights = jnp.stack(all_w, axis=1)
-    return flat_idx, weights, oob
+    return flat_idx, _apply_simplex8(spec, x, weights), oob
+
+
+def _apply_simplex8(spec: HashGridSpec, x: jnp.ndarray, weights: jnp.ndarray):
+    """Replace trilinear weights with simplex weights on simplex levels
+    ([B, L, 8] slot layout; indices are interpolation-agnostic)."""
+    lv0 = spec.simplex_start
+    if lv0 >= spec.num_levels:
+        return weights
+    return jnp.concatenate(
+        [weights[:, :lv0], _simplex_weights8(spec, x, lv0)], axis=1
+    )
 
 
 def _level_indices(
@@ -334,46 +422,48 @@ from functools import lru_cache
 
 
 @lru_cache(maxsize=None)
-def _flat_plan(spec: HashGridSpec, c: int, style: int):
-    l = spec.num_levels
-    n = 8 * l  # one column per (level, corner) ROW of the table
+def _flat_plan(spec: HashGridSpec, style: int, lv0: int, lv1: int, k: int):
+    """Per-column constants for levels [lv0, lv1) with k corner columns per
+    level (8 trilinear / 4 simplex); column j = (level lv0 + j // k, slot
+    j % k), so slice [s::k] is one corner/vertex slot across the levels."""
+    lvls = np.arange(lv0, lv1)
+    n = k * len(lvls)
     j = np.arange(n)
-    corner = j % 8  # corner minor: column slice [cnr::8] is one corner's levels
-    lvl = j // 8
-    bits = _CORNERS[corner]  # [N, 3]
-    return {
+    lvl = lvls[j // k]
+    plan = {
         "n": n,
         "scale": np.array(spec.resolutions, np.float32)[lvl],  # [N]
         "resm1": (np.array(spec.resolutions, np.float32) - 1.0)[lvl],
         "table": np.array(spec.table_sizes, np.uint32)[lvl],
         "offset": np.array(spec.offsets[:-1], np.int64)[lvl],
-        "bits": [bits[:, d].astype(np.float32) for d in range(3)],
         "style_xor": np.uint32((style * _PRIMES[3]) & 0xFFFFFFFF),
     }
+    if k == 8:
+        bits = _CORNERS[j % 8]  # [N, 3]
+        plan["bits"] = [bits[:, d].astype(np.float32) for d in range(3)]
+    else:
+        plan["vert"] = (j % 4).astype(np.float32)  # [N] vertex number 0..3
+    return plan
 
 
-def _flat_corners(spec: HashGridSpec, c: int, style: int, x):
-    """Flat-domain corner ROW indices + trilerp weights.
-
-    Returns (rows [B, NL] i32 table-row indices, w [B, NL] f32, oob [B]
-    bool) where NL = 8 * num_levels, column j = (corner j // L, level j % L).
-    Pure elementwise math from constant vectors — cheap to recompute in the
-    backward instead of saving residuals.
+def _flat_block_tri(spec: HashGridSpec, style: int, x, lv0: int, lv1: int):
+    """Flat-domain trilinear corner ROW indices + weights for levels
+    [lv0, lv1): (rows [B, 8*L'] i32, w [B, 8*L'] f32).  Pure elementwise math
+    from constant vectors — cheap to recompute in the backward instead of
+    saving residuals.
 
     Gather-granularity note (measured on v5e): XLA's TPU gather costs ~13 ns
     per gathered ROW regardless of row width, but ~60 ns per scalar ELEMENT.
     The encoder therefore always gathers whole [C]-channel rows from the
     [T, C] table and never expands to the per-element domain.
     """
-    p = _flat_plan(spec, c, style)
-    oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1)
-
+    p = _flat_plan(spec, style, lv0, lv1, 8)
     h = jnp.zeros((x.shape[0], p["n"]), jnp.uint32)
     w = jnp.ones((x.shape[0], p["n"]), jnp.float32)
     scale = jnp.asarray(p["scale"])
     resm1 = jnp.asarray(p["resm1"])
     for d in range(3):
-        pos = x[:, d : d + 1] * scale[None]  # [B, NL]
+        pos = x[:, d : d + 1] * scale[None]  # [B, N]
         pg = jnp.clip(jnp.floor(pos), 0.0, resm1[None])
         frac = pos - pg
         bit = jnp.asarray(p["bits"][d])[None]
@@ -384,7 +474,79 @@ def _flat_corners(spec: HashGridSpec, c: int, style: int, x):
     rows = (h % jnp.asarray(p["table"])[None]).astype(jnp.int32) + jnp.asarray(
         p["offset"], jnp.int32
     )[None]
-    return rows, w, oob
+    return rows, w
+
+
+def _flat_block_simplex(spec: HashGridSpec, style: int, x, lv0: int, lv1: int):
+    """Flat-domain simplex VERTEX row indices + barycentric weights for
+    levels [lv0, lv1): (rows [B, 4*L'] i32, w [B, 4*L'] f32).  Vertex v of
+    a level includes axis d iff rank_d < v (top-v ranked axes); hashes are
+    identical to the trilinear corner with the same integer coords, so slow
+    and fast paths agree exactly."""
+    p = _flat_plan(spec, style, lv0, lv1, 4)
+    scale = jnp.asarray(p["scale"])
+    resm1 = jnp.asarray(p["resm1"])
+    pgs, fr = [], []
+    for d in range(3):
+        pos = x[:, d : d + 1] * scale[None]  # [B, N]
+        pg = jnp.clip(jnp.floor(pos), 0.0, resm1[None])
+        pgs.append(pg)
+        fr.append(pos - pg)
+    ranks = _simplex_ranks(*fr)
+    s1, s2, s3 = _simplex_sorted(*fr)
+    vert = p["vert"]  # static numpy [N]
+    w = jnp.where(
+        jnp.asarray(vert == 0.0)[None], 1.0 - s1,
+        jnp.where(
+            jnp.asarray(vert == 1.0)[None], s1 - s2,
+            jnp.where(jnp.asarray(vert == 2.0)[None], s2 - s3, s3),
+        ),
+    )
+    h = jnp.full((x.shape[0], p["n"]), p["style_xor"], jnp.uint32)
+    vert_j = jnp.asarray(vert)[None]
+    for d in range(3):
+        cc = pgs[d].astype(jnp.uint32) + (ranks[d] < vert_j).astype(jnp.uint32)
+        h = h ^ (cc * jnp.uint32(_PRIMES[d]))
+    rows = (h % jnp.asarray(p["table"])[None]).astype(jnp.int32) + jnp.asarray(
+        p["offset"], jnp.int32
+    )[None]
+    return rows, w
+
+
+def _flat_corners(spec: HashGridSpec, c: int, style: int, x):
+    """Mixed flat-domain row indices + interpolation weights.
+
+    Returns (rows8 [B, 8*Lc], w8, rows4 [B, 4*(L-Lc)], w4, oob [B]) where
+    Lc = spec.simplex_start: trilinear 8-corner columns for the coarse level
+    prefix, simplex 4-vertex columns for the fine suffix.  Either block may
+    be empty ([B, 0])."""
+    b = x.shape[0]
+    l = spec.num_levels
+    lc = spec.simplex_start
+    oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1)
+    if lc > 0:
+        rows8, w8 = _flat_block_tri(spec, style, x, 0, lc)
+    else:
+        rows8 = jnp.zeros((b, 0), jnp.int32)
+        w8 = jnp.zeros((b, 0), jnp.float32)
+    if lc < l:
+        rows4, w4 = _flat_block_simplex(spec, style, x, lc, l)
+    else:
+        rows4 = jnp.zeros((b, 0), jnp.int32)
+        w4 = jnp.zeros((b, 0), jnp.float32)
+    return rows8, w8, rows4, w4, oob
+
+
+def _block_encode(embeddings, rows, w, k: int):
+    """Accumulate k per-slot row gathers -> [B*L', C] features (order (b, l));
+    the k slot index streams are lane-strided column slices that fuse into
+    the gather's index computation."""
+    out = None
+    for s in range(k):
+        idx_c = rows[:, s::k].reshape(-1)  # [B*L'] ordered (b, l)
+        term = jnp.take(embeddings, idx_c, axis=0) * w[:, s::k].reshape(-1)[:, None]
+        out = term if out is None else out + term
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -498,7 +660,9 @@ def dedup_plan(
     size = np.asarray(scene_size, np.float64).reshape(-1)
     # expected |dir| component ~ 0.577 for unit vectors; crossings add per axis
     rate_unit = float(dt_world * 0.577 * np.sum(1.0 / (2.0 * size)))
-    nf = [min(1.0, res * rate_unit) for res in spec.resolutions]
+    # dedup never covers simplex levels: their 4-row cost already undercuts
+    # the run-start amortization at the fractions where dedup stops winning
+    nf = [min(1.0, res * rate_unit) for res in spec.resolutions[: spec.simplex_start]]
     return _plan_from_fracs(nf, max_newfrac, margin)
 
 
@@ -516,7 +680,9 @@ def dedup_plan_for_grid_probes(
     new-cell fraction is ~R/H plus jitter hopping at boundaries (margin
     covers it; the cond fallback covers the rest).
     """
-    nf = [min(1.0, res / grid_size) for res in spec.resolutions]
+    nf = [
+        min(1.0, res / grid_size) for res in spec.resolutions[: spec.simplex_start]
+    ]
     return _plan_from_fracs(nf, max_newfrac, margin)
 
 
@@ -585,19 +751,32 @@ def _encode_flat_dedup(spec: HashGridSpec, style: int, plan: DedupPlan, embeddin
     b = x.shape[0]
     c = embeddings.shape[1]
     l = spec.num_levels
-    ld = len(plan.levels)
+    lc = spec.simplex_start
+    ld = len(plan.levels)  # dedup prefix; plan builders clamp ld <= lc
     s = plan.group_size
     ng = len(plan.groups)
-    fl_n = l - ld  # contiguous fine suffix
     dom = ng * b
     cap = plan.cap(b)
 
-    rows, w, oob = _flat_corners(spec, c, style, x)  # [B, 8L], level-major cols
+    rows8, w8, rows4, w4, oob = _flat_corners(spec, c, style, x)
     fill_slot, starts, ok = _dedup_structure(spec, plan, x)
 
+    def _suffix(emb):
+        """Non-dedup'd levels: trilinear [ld, lc) + simplex [lc, L)."""
+        outs = []
+        if lc > ld:
+            outs.append(
+                _block_encode(emb, rows8[:, 8 * ld :], w8[:, 8 * ld :], 8).reshape(
+                    b, -1
+                )
+            )
+        if l > lc:
+            outs.append(_block_encode(emb, rows4, w4, 4).reshape(b, -1))
+        return outs
+
     def dedup_branch(emb):
-        rows_gm = _dedup_streams(plan, rows)
-        w_gm = _dedup_streams(plan, w)
+        rows_gm = _dedup_streams(plan, rows8)
+        w_gm = _dedup_streams(plan, w8)
         p_safe = jnp.minimum(starts, dom - 1)
         compact = jnp.concatenate(
             [jnp.take(emb, jnp.take(r, p_safe), axis=0) for r in rows_gm], axis=1
@@ -617,49 +796,36 @@ def _encode_flat_dedup(spec: HashGridSpec, style: int, plan: DedupPlan, embeddin
             [accs[m][g * b : (g + 1) * b] for g in range(ng) for m in range(s)],
             axis=1,
         )  # [B, Ld*C]
-        if not fl_n:
-            return out_d
-        rows_f, w_f = rows[:, 8 * ld :], w[:, 8 * ld :]  # contiguous fine block
-        out_f = None
-        for cnr in range(8):
-            idx_c = rows_f[:, cnr::8].reshape(-1)  # [B*Lf] ordered (b, l)
-            term = jnp.take(emb, idx_c, axis=0) * w_f[:, cnr::8].reshape(-1)[:, None]
-            out_f = term if out_f is None else out_f + term
-        return jnp.concatenate([out_d, out_f.reshape(b, fl_n * c)], axis=1)
+        return jnp.concatenate([out_d] + _suffix(emb), axis=1)
 
     def naive_branch(emb):
-        out = None
-        for cnr in range(8):
-            idx_c = rows[:, cnr::8].reshape(-1)
-            term = jnp.take(emb, idx_c, axis=0) * w[:, cnr::8].reshape(-1)[:, None]
-            out = term if out is None else out + term
-        return out.reshape(b, l * c)
+        outs = [_block_encode(emb, rows8[:, : 8 * ld], w8[:, : 8 * ld], 8).reshape(b, -1)]
+        return jnp.concatenate(outs + _suffix(emb), axis=1)
 
     out = jax.lax.cond(ok, dedup_branch, naive_branch, embeddings)
     return jnp.where(oob[:, None], 0.0, out)
 
 
 def _encode_flat(spec: HashGridSpec, style: int, embeddings, x):
-    """All-hashed-levels forward via 8 per-corner row gathers -> [B, L*C].
+    """All-hashed-levels forward via per-slot row gathers -> [B, L*C]:
+    8 gathers for the trilinear level prefix, 4 for the simplex suffix.
 
     Layout discipline (each alternative was measured to force a padded
     relayout copy of the [K, 4] gather output — 16 GB at style-eval sizes):
     NO transposes, NO rank-3 intermediates, NO strided row slices.  Each
-    corner's [B*L] index stream is a lane-strided column slice of the clean
-    [B, 8L] plan (fuses into the gather's index computation); each gather
+    slot's [B*L] index stream is a lane-strided column slice of the clean
+    [B, kL] plan (fuses into the gather's index computation); each gather
     output [B*L, C] feeds a fused multiply-add accumulation.
     """
     b = x.shape[0]
     c = embeddings.shape[1]
-    l = spec.num_levels
-    rows, w, oob = _flat_corners(spec, c, style, x)  # [B, 8L] cols (l, corner)
-    out = None
-    for cnr in range(8):
-        idx_c = rows[:, cnr::8].reshape(-1)  # [B*L] ordered (b, l)
-        w_c = w[:, cnr::8].reshape(-1)
-        term = jnp.take(embeddings, idx_c, axis=0) * w_c[:, None]
-        out = term if out is None else out + term
-    out = out.reshape(b, l * c)  # rows (b, l) -> level-major features
+    rows8, w8, rows4, w4, oob = _flat_corners(spec, c, style, x)
+    outs = []
+    if rows8.shape[1]:
+        outs.append(_block_encode(embeddings, rows8, w8, 8).reshape(b, -1))
+    if rows4.shape[1]:
+        outs.append(_block_encode(embeddings, rows4, w4, 4).reshape(b, -1))
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
     return jnp.where(oob[:, None], 0.0, out)
 
 
@@ -791,32 +957,48 @@ def _encode_fast_bwd(spec, style, bwd_pack, dedup, res, g):
     t = spec.total_params
 
     if _all_levels_hashed(spec, style):
-        rows, w, oob = _flat_corners(spec, c, style, x)  # [B, 8L] cols (l, corner)
+        lc = spec.simplex_start
+        rows8, w8, rows4, w4, oob = _flat_corners(spec, c, style, x)
         g3 = jnp.where(oob[:, None, None], 0.0, g.reshape(b, l, c))
         if dedup is not None:
-            d_emb = _dedup_bwd(spec, style, bwd_pack, dedup, x, rows, w, g3)
+            d_emb = _dedup_bwd(
+                spec, style, bwd_pack, dedup, x, rows8, w8, rows4, w4, g3
+            )
             return d_emb.astype(emb_dtype), jnp.zeros_like(x)
-        per_corner_rows = [rows[:, cnr::8].reshape(-1) for cnr in range(8)]
-        per_corner_w = [w[:, cnr::8].reshape(-1) for cnr in range(8)]
+        # Per-ROW contribution stream, ordered (slot, b, l) per block: pure
+        # 1-D concatenations — no transposes, no rank-3, no sub-128 minors.
+        per_slot_rows, per_slot_wg = [], [[] for _ in range(c)]
+        for block_rows, block_w, k, g_blk in (
+            (rows8, w8, 8, g3[:, :lc]),
+            (rows4, w4, 4, g3[:, lc:]),
+        ):
+            if not block_rows.shape[1]:
+                continue
+            g_flat = [g_blk[..., j].reshape(-1) for j in range(c)]  # [B*L']
+            for slot in range(k):
+                per_slot_rows.append(block_rows[:, slot::k].reshape(-1))
+                w_s = block_w[:, slot::k].reshape(-1)
+                for j in range(c):
+                    per_slot_wg[j].append((w_s * g_flat[j]).astype(jnp.float32))
+        rows_k = jnp.concatenate(per_slot_rows)
+        vals = [jnp.concatenate(v) for v in per_slot_wg]
     else:
         flat_idx, weights, oob = corner_indices_weights(spec, x, style)  # [B, L, 8]
         g3 = jnp.where(oob[:, None, None], 0.0, g.reshape(b, l, c))
         per_corner_rows = [flat_idx[:, :, cnr].reshape(-1) for cnr in range(8)]
         per_corner_w = [weights[:, :, cnr].reshape(-1) for cnr in range(8)]
+        rows_k = jnp.concatenate(per_corner_rows)
+        w_k = jnp.concatenate(per_corner_w)
+        vals = []
+        for j in range(c):
+            gj = jnp.tile(g3[..., j].reshape(-1), 8)  # [(corner, b, l)]
+            vals.append((w_k * gj).astype(jnp.float32))
 
-    # Per-ROW contribution stream, k ordered (corner, b, l): pure 1-D
-    # concatenations — no transposes, no rank-3, no sub-128 minor dims.
-    rows_k = jnp.concatenate(per_corner_rows)
-    w_k = jnp.concatenate(per_corner_w)
-    vals = []
-    for j in range(c):
-        gj = jnp.tile(g3[..., j].reshape(-1), 8)  # [(corner, b, l)]
-        vals.append((w_k * gj).astype(jnp.float32))
     d_emb = _sort_scatter(rows_k, vals, t, bwd_pack and c % 2 == 0)
     return d_emb.astype(emb_dtype), jnp.zeros_like(x)
 
 
-def _dedup_bwd(spec, style, bwd_pack, dedup, x, rows, w, g3):
+def _dedup_bwd(spec, style, bwd_pack, dedup, x, rows8, w8, rows4, w4, g3):
     """Table cotangent with the dedup-reduced contribution stream.
 
     Dedup-level cotangents are segment-summed over runs (contiguous by
@@ -827,21 +1009,36 @@ def _dedup_bwd(spec, style, bwd_pack, dedup, x, rows, w, g3):
     """
     b = x.shape[0]
     l = spec.num_levels
+    lc = spec.simplex_start
     c = g3.shape[-1]
     t = spec.total_params
     ld = len(dedup.levels)
     s = dedup.group_size
     ng = len(dedup.groups)
-    fl_n = l - ld
     dom = ng * b
     cap = dedup.cap(b)
     pack = bwd_pack and c % 2 == 0
 
     fill_slot, starts, ok = _dedup_structure(spec, dedup, x)
 
+    def _suffix_streams(stream_rows, stream_vals, g3):
+        """Append non-dedup'd levels: trilinear [ld, lc) + simplex [lc, L)."""
+        for block_rows, block_w, k, g_blk in (
+            (rows8[:, 8 * ld :], w8[:, 8 * ld :], 8, g3[:, ld:lc]),
+            (rows4, w4, 4, g3[:, lc:]),
+        ):
+            if not block_rows.shape[1]:
+                continue
+            g_flat = [g_blk[..., ch].reshape(-1) for ch in range(c)]
+            for slot in range(k):
+                stream_rows.append(block_rows[:, slot::k].reshape(-1))
+                w_s = block_w[:, slot::k].reshape(-1)
+                for ch in range(c):
+                    stream_vals[ch].append((w_s * g_flat[ch]).astype(jnp.float32))
+
     def dedup_branch(g3):
-        rows_gm = _dedup_streams(dedup, rows)
-        w_gm = _dedup_streams(dedup, w)
+        rows_gm = _dedup_streams(dedup, rows8)
+        w_gm = _dedup_streams(dedup, w8)
         # weighted cotangent per (position, member-corner, channel): [G*B, S*8*C]
         g_members = [
             jnp.concatenate([g3[:, grp[m], :] for grp in dedup.groups], axis=0)
@@ -868,26 +1065,22 @@ def _dedup_bwd(spec, style, bwd_pack, dedup, x, rows, w, g3):
         stream_vals = [
             [g_compact[:, j * c + ch] for j in range(s * 8)] for ch in range(c)
         ]
-        # fine-suffix levels: naive per-corner streams
-        if fl_n:
-            rows_f, w_f = rows[:, 8 * ld :], w[:, 8 * ld :]
-            g_f = [g3[:, ld:, ch].reshape(-1) for ch in range(c)]  # [B*Lf] (b, l)
-            for cnr in range(8):
-                stream_rows.append(rows_f[:, cnr::8].reshape(-1))
-                w_c = w_f[:, cnr::8].reshape(-1)
-                for ch in range(c):
-                    stream_vals[ch].append((w_c * g_f[ch]).astype(jnp.float32))
+        _suffix_streams(stream_rows, stream_vals, g3)
         rows_k = jnp.concatenate(stream_rows)
         vals = [jnp.concatenate(v) for v in stream_vals]
         return _sort_scatter(rows_k, vals, t, pack)
 
     def naive_branch(g3):
-        rows_k = jnp.concatenate([rows[:, cnr::8].reshape(-1) for cnr in range(8)])
-        w_k = jnp.concatenate([w[:, cnr::8].reshape(-1) for cnr in range(8)])
-        vals = []
-        for j in range(c):
-            gj = jnp.tile(g3[..., j].reshape(-1), 8)
-            vals.append((w_k * gj).astype(jnp.float32))
+        stream_rows, stream_vals = [], [[] for _ in range(c)]
+        g_d = [g3[:, :ld, ch].reshape(-1) for ch in range(c)]
+        for cnr in range(8):
+            stream_rows.append(rows8[:, : 8 * ld][:, cnr::8].reshape(-1))
+            w_c = w8[:, : 8 * ld][:, cnr::8].reshape(-1)
+            for ch in range(c):
+                stream_vals[ch].append((w_c * g_d[ch]).astype(jnp.float32))
+        _suffix_streams(stream_rows, stream_vals, g3)
+        rows_k = jnp.concatenate(stream_rows)
+        vals = [jnp.concatenate(v) for v in stream_vals]
         return _sort_scatter(rows_k, vals, t, pack)
 
     return jax.lax.cond(ok, dedup_branch, naive_branch, g3)

@@ -192,6 +192,7 @@ class Trainer:
             min_res=self.net_cfg.pos_enc.min_res,
             max_res_coeff=self.net_cfg.pos_enc.max_res_coeff,
             max_bound=max_bound,
+            simplex_from=self.net_cfg.pos_enc.simplex_from,
         )
         self.field_spec = style_field_spec(
             grid_spec,

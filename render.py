@@ -81,6 +81,7 @@ def main() -> None:
         min_res=net_cfg.pos_enc.min_res,
         max_res_coeff=net_cfg.pos_enc.max_res_coeff,
         max_bound=max_bound,
+        simplex_from=net_cfg.pos_enc.simplex_from,
     )
     field_spec = style_field_spec(
         grid_spec,

@@ -427,3 +427,150 @@ class TestCornerDedup:
         assert probe is not None and probe.levels == tuple(range(len(probe.levels)))
         # too-coarse scene: no level qualifies
         assert dedup_plan(spec, dt_world=1.0, scene_size=(1.0, 1.0, 1.0)) is None
+
+
+class TestSimplex:
+    """Freudenthal-simplex interpolation (HashGridSpec.simplex_from): 4
+    gathered rows/sample on fine levels, C0 field, exact fast/slow parity."""
+
+    def _spec(self, simplex_from, levels=6, hm=12):
+        return hashgrid_spec(
+            num_levels=levels, level_dim=2, base_resolution=16,
+            per_level_scale=1.61, log2_hashmap_size=hm,
+            simplex_from=simplex_from,
+        )
+
+    def _ref_encode_simplex(self, spec, emb, x, style=0):
+        """Scalar numpy reference: sort fractions descending (ties x<y<z),
+        walk vertices v0=floor, v_k = v_{k-1} + e_{k-th largest axis},
+        barycentric weights (1-s1, s1-s2, s2-s3, s3)."""
+        emb = np.asarray(emb)
+        b = x.shape[0]
+        out = np.zeros((b, spec.num_levels, emb.shape[1]), np.float32)
+        for i in range(b):
+            if np.any((x[i] < 0) | (x[i] > 1)):
+                continue
+            for lvl in range(spec.num_levels):
+                res = spec.resolutions[lvl]
+                pos = x[i] * float(res)
+                pg = np.minimum(np.floor(pos), res - 1)
+                frac = (pos - pg).astype(np.float32)
+                if lvl < spec.simplex_start:
+                    acc = np.zeros(emb.shape[1], np.float32)
+                    for c in range(8):
+                        w = 1.0
+                        corner = np.zeros(3, np.int64)
+                        for d in range(3):
+                            if (c >> d) & 1:
+                                w *= frac[d]
+                                corner[d] = pg[d] + 1
+                            else:
+                                w *= 1 - frac[d]
+                                corner[d] = pg[d]
+                        idx = _ref_grid_index(corner, res, spec.table_sizes[lvl], style)
+                        acc += w * emb[spec.offsets[lvl] + idx]
+                    out[i, lvl] = acc
+                    continue
+                # stable argsort descending with axis-order tie-break
+                order = sorted(range(3), key=lambda d: (-frac[d], d))
+                s = [frac[order[0]], frac[order[1]], frac[order[2]]]
+                ws = [1.0 - s[0], s[0] - s[1], s[1] - s[2], s[2]]
+                corner = pg.astype(np.int64).copy()
+                acc = np.zeros(emb.shape[1], np.float32)
+                for k in range(4):
+                    if k > 0:
+                        corner[order[k - 1]] += 1
+                    idx = _ref_grid_index(corner, res, spec.table_sizes[lvl], style)
+                    acc += np.float32(ws[k]) * emb[spec.offsets[lvl] + idx]
+                out[i, lvl] = acc
+        return out.reshape(b, -1)
+
+    @pytest.mark.parametrize("simplex_from", [0, 3])
+    def test_matches_scalar_reference(self, simplex_from):
+        spec = self._spec(simplex_from)
+        emb = hashgrid_init(jax.random.PRNGKey(0), spec)
+        x = np.array(jax.random.uniform(jax.random.PRNGKey(1), (64, 3)))
+        # include exact-integer / tied-fraction points (tie-break coverage)
+        x[:8] = np.round(x[:8] * 16) / 16.0
+        x[8:12, 0] = x[8:12, 1]
+        x[12:16, 1] = x[12:16, 2]
+        got = hashgrid_encode(spec, emb, jnp.asarray(x), fast_vjp=True)
+        want = self._ref_encode_simplex(spec, emb, x)
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+
+    def test_fast_matches_slow_path(self):
+        spec = self._spec(2)
+        emb = hashgrid_init(jax.random.PRNGKey(0), spec)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (256, 3))
+        fast = hashgrid_encode(spec, emb, x, fast_vjp=True)
+        slow = hashgrid_encode(spec, emb, x, fast_vjp=False)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(slow), atol=1e-6)
+
+    def test_partition_of_unity_and_nonneg(self):
+        spec = self._spec(0)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (512, 3))
+        ones = jnp.ones((spec.total_params, 2))
+        out = hashgrid_encode(spec, ones, x, fast_vjp=True)
+        np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-5)
+
+    def test_continuity_across_boundaries(self):
+        """C0 across cell faces AND tetra faces: epsilon pairs straddling a
+        z-integer plane and the fx==fy diagonal produce near-equal features."""
+        spec = self._spec(0, levels=4)
+        emb = jax.random.normal(jax.random.PRNGKey(0), (spec.total_params, 2))
+        eps = 1e-6
+        res = spec.resolutions[-1]
+        pairs = []
+        for zc in (3, 7, 11):
+            z = zc / res
+            pairs += [[0.31, 0.47, z - eps], [0.31, 0.47, z + eps]]
+        u = (5 + 0.3) / res
+        pairs += [[u - eps, u, 0.21], [u + eps, u, 0.21]]  # fx==fy tetra face
+        pairs += [[0.41, u - eps, u], [0.41, u + eps, u]]  # fy==fz tetra face
+        out = np.asarray(hashgrid_encode(spec, emb, jnp.asarray(pairs), fast_vjp=True))
+        for i in range(0, len(pairs), 2):
+            # bound the jump by slope*2eps with generous headroom
+            assert np.abs(out[i] - out[i + 1]).max() < res * eps * 50, i
+
+    def test_grad_matches_fd(self):
+        spec = self._spec(1)
+        emb = jax.random.normal(jax.random.PRNGKey(0), (spec.total_params, 2))
+        x = jax.random.uniform(jax.random.PRNGKey(1), (128, 3))
+
+        def loss(e):
+            out = hashgrid_encode(spec, e, x, fast_vjp=True)
+            return (out**2).sum() / out.size
+
+        g = jax.grad(loss)(emb)
+        v = jax.random.normal(jax.random.PRNGKey(3), emb.shape) * 1e-3
+        fd = (loss(emb + v) - loss(emb - v)) / 2.0
+        an = (g * v).sum()
+        assert abs(float(fd - an)) / abs(float(fd)) < 1e-3
+
+    def test_dedup_clamped_and_equal(self):
+        """Dedup plans never cover simplex levels; dedup'd encode matches the
+        naive mixed encode to reassociation tolerance, fwd and bwd."""
+        from nerfstyle_tpu.ops.hashgrid import dedup_plan
+
+        spec = hashgrid_spec(
+            num_levels=8, level_dim=2, base_resolution=16,
+            per_level_scale=1.45, log2_hashmap_size=13, simplex_from=4,
+        )
+        plan = dedup_plan(spec, 2 * np.sqrt(3) / 1024, np.array([4.0, 4.0, 4.0]))
+        assert plan is not None and max(plan.levels) < 4
+        emb = jax.random.normal(jax.random.PRNGKey(0), (spec.total_params, 2))
+        t = jnp.linspace(0.2, 0.8, 1024)
+        o = jnp.array([0.1, 0.2, 0.3])
+        d = jnp.array([0.5, 0.6, 0.62])
+        x = jnp.clip(o[None] + t[:, None] * d[None] / jnp.linalg.norm(d), 0, 1)
+        naive = hashgrid_encode(spec, emb, x, fast_vjp=True, dedup=None)
+        dd = hashgrid_encode(spec, emb, x, fast_vjp=True, dedup=plan)
+        np.testing.assert_allclose(np.asarray(naive), np.asarray(dd), atol=1e-5)
+
+        def loss(e, dedup):
+            out = hashgrid_encode(spec, e, x, fast_vjp=True, dedup=dedup)
+            return (out * jnp.cos(jnp.arange(out.size).reshape(out.shape))).sum()
+
+        g1 = jax.grad(lambda e: loss(e, None))(emb)
+        g2 = jax.grad(lambda e: loss(e, plan))(emb)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
