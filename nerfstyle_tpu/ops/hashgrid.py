@@ -223,10 +223,13 @@ def _all_levels_hashed(spec: HashGridSpec, style: int) -> bool:
 
 
 def corner_indices_weights(spec: HashGridSpec, x: jnp.ndarray, style: int = 0):
-    """All-level corner table indices and trilinear weights.
+    """All-level corner table indices and interpolation weights.
 
     Returns (flat_idx [B, L, 8] i32 into the flat table, weights [B, L, 8],
-    oob [B] bool).  Pure int/elementwise math — cheap to recompute in the
+    oob [B] bool).  Weights are TRILINEAR on levels < ``spec.simplex_start``
+    and SIMPLEX-BARYCENTRIC (4 nonzero of the 8 slots, via ``_apply_simplex8``)
+    on levels >= it — callers doing analytic d/dx or occupancy math must not
+    assume trilinear structure on the simplex suffix.  Pure int/elementwise math — cheap to recompute in the
     backward pass instead of saving 134 MB of indices as residuals.
 
     When every level takes the hash path (all practical configs), the level
@@ -513,7 +516,7 @@ def _flat_block_simplex(spec: HashGridSpec, style: int, x, lv0: int, lv1: int):
     return rows, w
 
 
-def _flat_corners(spec: HashGridSpec, c: int, style: int, x):
+def _flat_corners(spec: HashGridSpec, style: int, x):
     """Mixed flat-domain row indices + interpolation weights.
 
     Returns (rows8 [B, 8*Lc], w8, rows4 [B, 4*(L-Lc)], w4, oob [B]) where
@@ -753,12 +756,18 @@ def _encode_flat_dedup(spec: HashGridSpec, style: int, plan: DedupPlan, embeddin
     l = spec.num_levels
     lc = spec.simplex_start
     ld = len(plan.levels)  # dedup prefix; plan builders clamp ld <= lc
+    # Fail loudly on a plan built against a different spec: a dedup prefix
+    # reaching into the simplex suffix would silently index rows8 columns
+    # that belong to other levels (cheap static check, ADVICE r4).
+    assert ld <= lc, (
+        f"DedupPlan covers {ld} levels but spec's trilinear prefix is {lc}"
+    )
     s = plan.group_size
     ng = len(plan.groups)
     dom = ng * b
     cap = plan.cap(b)
 
-    rows8, w8, rows4, w4, oob = _flat_corners(spec, c, style, x)
+    rows8, w8, rows4, w4, oob = _flat_corners(spec, style, x)
     fill_slot, starts, ok = _dedup_structure(spec, plan, x)
 
     def _suffix(emb):
@@ -818,8 +827,7 @@ def _encode_flat(spec: HashGridSpec, style: int, embeddings, x):
     output [B*L, C] feeds a fused multiply-add accumulation.
     """
     b = x.shape[0]
-    c = embeddings.shape[1]
-    rows8, w8, rows4, w4, oob = _flat_corners(spec, c, style, x)
+    rows8, w8, rows4, w4, oob = _flat_corners(spec, style, x)
     outs = []
     if rows8.shape[1]:
         outs.append(_block_encode(embeddings, rows8, w8, 8).reshape(b, -1))
@@ -958,7 +966,7 @@ def _encode_fast_bwd(spec, style, bwd_pack, dedup, res, g):
 
     if _all_levels_hashed(spec, style):
         lc = spec.simplex_start
-        rows8, w8, rows4, w4, oob = _flat_corners(spec, c, style, x)
+        rows8, w8, rows4, w4, oob = _flat_corners(spec, style, x)
         g3 = jnp.where(oob[:, None, None], 0.0, g.reshape(b, l, c))
         if dedup is not None:
             d_emb = _dedup_bwd(
@@ -1013,6 +1021,9 @@ def _dedup_bwd(spec, style, bwd_pack, dedup, x, rows8, w8, rows4, w4, g3):
     c = g3.shape[-1]
     t = spec.total_params
     ld = len(dedup.levels)
+    assert ld <= lc, (  # mismatched plan guard, mirrors _encode_flat_dedup
+        f"DedupPlan covers {ld} levels but spec's trilinear prefix is {lc}"
+    )
     s = dedup.group_size
     ng = len(dedup.groups)
     dom = ng * b
