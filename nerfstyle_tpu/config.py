@@ -477,6 +477,15 @@ class RendererConfig(Config):
     """TPU HBM ceiling on total compacted samples per batch (the train-step
     backward temps scale with num_rays * bucket; ~1M samples ~ 15G on v5e)."""
 
+    window_init_bucket: int = 0
+    """TPU-specific: initial candidate-window capacity (windows/ray) of the
+    two-stage march.  0 starts at the ladder max (safe, slower) and shrinks
+    with hysteresis — each shrink recompiles the train step (minutes on the
+    remote TPU compiler).  Setting this to a run's known settled value makes
+    the FIRST compiled step the steady shape; an undersized seed is grown
+    immediately on the exact candidate-count counter, so it is never wrong,
+    only briefly slower."""
+
     default_path = "cfgs/renderer/default.yaml"
 
 
@@ -573,6 +582,14 @@ class TrainConfig(Config):
     and the full differentiable field runs on that compacted prefix only.
     EXACT, not approximate (tests/test_two_phase_train.py); the kept capacity
     rides its own bucket ladder on an exact demand counter."""
+
+    two_phase_init_bucket: int = 0
+    """TPU-specific: pre-seed the two-phase kept-prefix capacity
+    (samples/ray, snapped up to the bucket ladder) so the FIRST compiled
+    train step is already the two-phase shape.  0 tunes from the first exact
+    demand fetch instead — correct, but pays one extra single-phase compile
+    (minutes on the remote TPU compiler).  An undersized seed is retuned
+    upward at the next occupancy sync from the exact num_sig counter."""
 
     sparsity_lambda: float = 0.0
     """Sparsity loss multiplier."""

@@ -74,6 +74,9 @@ class RenderSettings:
     # sized buffer drops overflow in exactly that phase (raymarching.py:
     # 233-236) — and is warned about if it still binds after warmup.
     max_budget_samples: int = 1_048_576
+    # TPU-specific: initial windows/ray capacity of the two-stage march
+    # (0 = ladder max; see RendererConfig.window_init_bucket).
+    window_init_bucket: int = 0
     # TPU-specific: empty-space-skipping while_loop marcher (exact lattice
     # semantics; see ops/marching.py). False = dense [N, T] lattice sweep.
     adaptive_march: bool = True
@@ -799,7 +802,16 @@ class Renderer:
         # Candidate-window capacity (windows/ray) of the two-stage march;
         # starts at the ladder max (~the full window domain: safe, slower)
         # and shrinks with hysteresis as observed candidate counts allow.
-        self._window_bucket = max(_WINDOW_BUCKETS)
+        # window_init_bucket pre-seeds a settled value (snapped up to the
+        # ladder) so the first compile is the steady shape; growth on the
+        # exact candidate counter corrects an undersized seed.
+        if settings.window_init_bucket > 0:
+            self._window_bucket = next(
+                (b for b in _WINDOW_BUCKETS if b >= settings.window_init_bucket),
+                max(_WINDOW_BUCKETS),
+            )
+        else:
+            self._window_bucket = max(_WINDOW_BUCKETS)
         self._last_num_cand = None  # device scalar from the latest batch
         self._bucket_debounce: dict = {}
         self._window_debounce: dict = {}

@@ -234,6 +234,7 @@ class Trainer:
             grid_bsize=self.render_cfg.grid_bsize,
             max_samples_per_ray=self.render_cfg.max_samples_per_ray,
             max_budget_samples=self.render_cfg.max_budget_samples,
+            window_init_bucket=self.render_cfg.window_init_bucket,
         )
         self.renderer = Renderer(
             self.field_spec,
@@ -325,6 +326,12 @@ class Trainer:
         # march budget" (no truncation possible: kept <= marched); the first
         # demand fetch at an occupancy sync retunes it downward.
         self._sig_bucket_train: Optional[int] = None
+        if tc.two_phase_train and tc.two_phase_init_bucket > 0:
+            # Pre-seeded kept capacity: the first compile is already the
+            # two-phase shape (config.py two_phase_init_bucket).
+            self._sig_bucket_train = bucket_for(
+                float(tc.two_phase_init_bucket), self.settings.max_samples_per_ray
+            )
         self._sig_train_debounce: Dict = {}
         self._last_num_sig = None  # device scalar from the latest step
         self._last_sig_rays = 0  # ray count that step actually ran at

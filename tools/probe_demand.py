@@ -22,7 +22,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import jax
 
 try:
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    # Same persistent cache as bench.py: every compile here pre-warms the
+    # driver's bench run (the bench dir is the one path that may persist).
+    _cache = os.environ.get(
+        "NERFSTYLE_BENCH_DIR",
+        str(Path(__file__).resolve().parent.parent / ".bench_cache"),
+    )
+    jax.config.update("jax_compilation_cache_dir", str(Path(_cache) / "xla_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:
     pass
@@ -93,6 +99,13 @@ def main():
                     r._mean_count_host / max(1, r._last_num_rays), 1
                 ),
                 "bucket": r._budget_bucket,
+                # Compiled-shape telemetry: every distinct train-step graph
+                # is a multi-minute remote compile, so the bench's cold-path
+                # cost is ~linear in step_graphs; window/sig are the two
+                # bucket ladders that key it besides the ray count.
+                "window_bucket": r._window_bucket,
+                "sig_bucket": trainer._sig_bucket_train,
+                "step_graphs": len(trainer._train_step_cache),
                 "occ_frac": round(occ_frac, 4),
                 "mean_density": round(mean_d, 6),
                 "thresh": round(thresh, 6),
