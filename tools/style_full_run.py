@@ -28,7 +28,13 @@ os.environ["NERFSTYLE_BENCH_FULL"] = "1"
 import jax
 
 try:
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    # Same persistent cache as bench.py: every compile here pre-warms the
+    # driver's bench run (the bench dir is the one path that may persist).
+    _cache = os.environ.get(
+        "NERFSTYLE_BENCH_DIR",
+        str(Path(__file__).resolve().parent.parent / ".bench_cache"),
+    )
+    jax.config.update("jax_compilation_cache_dir", str(Path(_cache) / "xla_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:
     pass
