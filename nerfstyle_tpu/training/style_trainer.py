@@ -474,7 +474,23 @@ class StyleTrainer(Trainer):
 
         w, h = self.train_set.intr.size()
         hw = w * h
-        chunk = min(self.settings.infer_chunk, hw)
+        # Dispatch-chunk law, same two-sided envelope as the renderer's
+        # _infer_chunk_cap: largest power of two whose march stream
+        # (chunk * samples/ray bucket) fits infer_sample_budget, windows get
+        # 4x.  At settled buckets (~64/ray) a 504x378 pose costs 3 dispatches
+        # instead of 24 — each dispatch is a remote-tunnel round trip, and
+        # the epoch-1 cache builds sit on the style stage's critical path.
+        # High-demand checkpoints shrink the chunk instead (compile-OOM
+        # guard, exactly like inference).
+        spr = max(1, self.renderer._budget_bucket)
+        wpr = max(1, self.renderer._window_bucket)
+        budget = self.settings.infer_sample_budget
+        cap = max(256, min(budget // spr, 4 * budget // wpr))
+        hi = max(self.settings.infer_chunk, self.settings.infer_chunk_max)
+        chunk = 256
+        while chunk * 2 <= min(cap, hi):
+            chunk *= 2
+        chunk = min(chunk, hw)
         cam_dirs, ys, xs = self._frame_dirs()
         pad = (-hw) % chunk
         if pad:
