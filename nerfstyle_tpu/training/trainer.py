@@ -781,6 +781,9 @@ class Trainer:
 
         self.iter_ctr += 1
         self.time1 = time.time()
+        # Device scalars, zero sync cost; probes/tools fetch at their own
+        # cadence (the hot loop must stay fetch-free).
+        self.last_losses = losses
 
         losses_lv = self._to_loss_values(losses)
         if self._check_interval(self.train_cfg.intervals.print):

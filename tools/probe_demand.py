@@ -99,6 +99,12 @@ def main():
                     r._mean_count_host / max(1, r._last_num_rays), 1
                 ),
                 "bucket": r._budget_bucket,
+                # Fit quality alongside the demand telemetry: an occupancy
+                # equilibrium can be a good fit or a translucent-soup
+                # underfit — PSNR is what tells them apart.
+                "psnr": round(
+                    float(np.asarray(trainer.last_losses["psnr"])), 2
+                ) if getattr(trainer, "last_losses", None) else None,
                 # Compiled-shape telemetry: every distinct train-step graph
                 # is a multi-minute remote compile, so the bench's cold-path
                 # cost is ~linear in step_graphs; window/sig are the two
