@@ -32,12 +32,14 @@ Wall-clock discipline:
     persist into driver runs (VERDICT r04); the repo directory is the one
     path with a chance to.  A re-run resumes from the converged checkpoint,
     skips convergence entirely, and hits the XLA cache for every graph.
-  * The cold path compiles the STEADY shapes directly: the regime starts at
-    the post-transient ray rung (--num_rays_per_batch 1024), pre-seeds the
-    two-phase kept-prefix bucket (--two_phase_init_bucket) and the march
-    window capacity (--window_init_bucket) at their settled values, so the
-    4096-ray and single-phase graphs of the r04 run (each a multi-minute
-    remote compile, both discarded within 16 iterations) never compile.
+  * Convergence is a measured two-phase recipe (docs/PERFORMANCE.md
+    round-5 forensics): phase F clears the MSE-built interior fog with the
+    cheapest possible iteration (coarse march, small pinned budget, ONE
+    compiled step graph, 0.41 s/iter measured) until the occupancy grid has
+    actually pruned, then phase P polishes in the production regime and the
+    timed window measures THAT.  Both phases pre-seed their settled shapes
+    (--num_rays_per_batch / --two_phase_init_bucket / --window_init_bucket)
+    so the r04 run's abandoned multi-minute compiles never happen.
 
 Baseline context: the reference publishes no numbers (BASELINE.md).  Its
 training schedule is 15,000 iters x 4,096 rays on an RTX 3090 (cfgs/training/
@@ -105,14 +107,49 @@ def _force(x):
     return np.asarray(jax.device_get(x))
 
 
-# The train regime, shared with tools/probe_demand.py so the probe always
-# measures the EXACT bench regime (iteration count excluded — callers set it).
-TRAIN_REGIME_FLAGS = [
+_COMMON_FLAGS = [
     "--intervals.print", "0",
     "--intervals.log", "0",
     "--intervals.test", "0",
     "--intervals.ckpt", "0",
     "--update_thres", "64",
+    # Active free-space suppression at 10x the reference default: the
+    # enclosed room's interior fog is MSE-built (see FOG_PHASE_FLAGS) and
+    # lambda 0.001 measurably neither prevents nor accelerates its decay
+    # (probe series, docs/PERFORMANCE.md round-5); 0.01 keeps walls strong
+    # (q99 sigma ~430 measured) while leaning on the interior.  8192
+    # samples/iter — the regularizer is statistical.
+    "--sparsity_lambda", "0.01",
+    "--sparsity_samples", "8192",
+    # Start space EMPTY (sigma ~ exp(-4)); see NetworkConfig.density_offset
+    # and the round-3 init-fog forensics.
+    "--density_offset", "-4",
+]
+
+# Phase F — fog clearing at minimum cost per iteration.  The enclosed-room
+# convergence is bound by the ITERATION COUNT of the MSE-vs-fog tug-of-war
+# (~0.12%/iter density decay, invariant across sparsity strength and ray
+# count — measured, docs/PERFORMANCE.md round-5 probes), so this phase buys
+# iterations as cheaply as possible: coarse march (256 steps, 4x dt), small
+# fixed sample budget, single-phase evaluation, shapes pinned by
+# construction (512 rays x 256 samples x 1.25 = the budget exactly — the
+# adaptive controller cannot move off the rung, so the phase holds ONE
+# compiled step graph).  Measured 0.41 s/iter on the v5 chip vs 2.9 s/iter
+# for the production regime in the same fog state (7x).
+FOG_PHASE_FLAGS = _COMMON_FLAGS + [
+    "--max_steps", "256",
+    "--max_samples_per_ray", "256",
+    "--adaptive_batch",
+    "--adaptive_batch_budget", "163840",
+    "--num_rays_per_batch", "512",
+    "--two_phase_train",  # toggle default true -> false: single-phase
+    "--window_init_bucket", "48",  # settled value, probes C/D
+]
+
+# The production train regime (phase P: polish + the timed window), shared
+# with tools/probe_demand.py so the probe always measures the EXACT bench
+# regime (iteration count excluded — callers set it).
+TRAIN_REGIME_FLAGS = _COMMON_FLAGS + [
     # A cap that CANNOT bind: max_samples_per_ray == max_steps (1024), so
     # demand can never exceed it (the marcher caps kept samples per ray at
     # max_steps).  A binding cap truncates exactly the samples whose
@@ -136,25 +173,10 @@ TRAIN_REGIME_FLAGS = [
     # corrected by the exact demand counters if wrong — only ever briefly
     # slower, never incorrect.
     "--num_rays_per_batch", "1024",
-    "--two_phase_init_bucket", "384",
-    # Active free-space suppression (the reference's own lever,
-    # /root/reference/config.py:419-426 + trainers/base.py:285-290):
-    # keeps the few-view synthetic scene out of the fog-runaway regime
-    # the round-2 driver bench hit (demand 782/ray).  8192 samples/iter
-    # (not the 50k default): the regularizer is statistical, and the
-    # extra fwd+bwd encode at 50k pts pushed the bucket-256 step compile
-    # over the 15.75G HBM ceiling (measured OOM, 20.35G).
-    "--sparsity_lambda", "0.001",
-    "--sparsity_samples", "8192",
-    # Start space EMPTY (sigma ~ exp(-4)) so geometry grows only where the
-    # loss demands it.  Without this the enclosed room scene trained INSIDE
-    # its init fog: no white-background signal suppresses sigma~1-2 fog fast,
-    # the occupancy threshold (min(mean_density, 10)) sits exactly at the
-    # fog level, and sample demand pinned at 550/ray for 1000+ iters
-    # (measured: grid median sigma 2.0 everywhere at iter 1220, train at
-    # 666 rays/s, inference demand so high the two-phase render graph OOMed
-    # the remote compiler).  See NetworkConfig.density_offset.
-    "--density_offset", "-4",
+    # Kept-prefix capacity seed for the pruned-scene regime; the exact
+    # num_sig counter corrects it at the first occupancy sync if wrong.
+    "--two_phase_init_bucket", "128",
+    "--window_init_bucket", "192",
 ]
 
 
@@ -191,17 +213,19 @@ def make_bench_scene(work: Path):
     return data_cfg, {"scene_res": f"{h}x{w}", "scene": variant, "views": views}
 
 
-def _regime_key(scene_info: dict, warmup: int, converge: int) -> str:
+def _regime_key(scene_info: dict, fog_cap: int, polish: int) -> str:
     """Hash identifying the convergence regime a cached checkpoint was
-    produced under.  Any change (scene, flags, schedule, schema) keys a
-    fresh checkpoint instead of silently reusing a stale one."""
+    produced under.  Any change (scene, either phase's flags, schedule,
+    schema) keys a fresh checkpoint instead of silently reusing a stale
+    one."""
     payload = json.dumps(
         {
             "schema": CKPT_SCHEMA,
             "scene": scene_info,
             "flags": TRAIN_REGIME_FLAGS,
+            "fog_flags": FOG_PHASE_FLAGS,
             "extra": os.environ.get("NERFSTYLE_BENCH_EXTRA_ARGS", ""),
-            "schedule": [warmup, converge],
+            "schedule": [fog_cap, polish],
         },
         sort_keys=True,
     )
@@ -215,17 +239,20 @@ def bench_train(work: Path, data_cfg: Path, scene_info: dict, result: dict):
     from nerfstyle_tpu.config import BaseConfig
     from nerfstyle_tpu.training.trainer import Trainer
 
-    warmup = int(os.environ.get("NERFSTYLE_BENCH_WARMUP", "120"))
-    converge = int(os.environ.get("NERFSTYLE_BENCH_CONVERGE_ITERS", "1000"))
+    fog_cap = int(os.environ.get("NERFSTYLE_BENCH_FOG_ITERS", "2600"))
+    polish = int(os.environ.get("NERFSTYLE_BENCH_POLISH_ITERS", "400"))
     iters = int(os.environ.get("NERFSTYLE_BENCH_ITERS", "100"))
+    # Phase-F exit criterion: the occupancy grid has pruned the interior and
+    # rays terminate on walls — the state every later phase is sized for.
+    fog_occ_stop = float(os.environ.get("NERFSTYLE_BENCH_FOG_OCC_STOP", "0.25"))
+    fog_demand_stop = float(
+        os.environ.get("NERFSTYLE_BENCH_FOG_DEMAND_STOP", "160")
+    )
 
     logs = work / "logs"
-    cached_ckpt = work / f"converged_{_regime_key(scene_info, warmup, converge)}.ckpt"
-    nargs = [
-        "--num_iterations", "200",
-    ] + TRAIN_REGIME_FLAGS + os.environ.get(
-        "NERFSTYLE_BENCH_EXTRA_ARGS", ""
-    ).split()
+    cached_ckpt = work / f"converged_{_regime_key(scene_info, fog_cap, polish)}.ckpt"
+    extra = os.environ.get("NERFSTYLE_BENCH_EXTRA_ARGS", "").split()
+    nargs = ["--num_iterations", "200"] + TRAIN_REGIME_FLAGS + extra
 
     # ---- resume path: a converged checkpoint for this exact regime skips
     # the whole convergence phase ----
@@ -244,61 +271,112 @@ def bench_train(work: Path, data_cfg: Path, scene_info: dict, result: dict):
             cached_ckpt.unlink(missing_ok=True)
 
     converge_s = 0.0
-    converge_done = 0
+    fog_done = 0
+    polish_done = 0
+    fog_ok = resumed
+    result["train_resumed"] = resumed
     if trainer is None:
+        import numpy as np
         import shutil
 
-        shutil.rmtree(logs, ignore_errors=True)
-        cfg = BaseConfig(log_dir=logs, data_cfg=data_cfg)
-        trainer = Trainer(cfg, list(nargs), assume_yes=True)
-    result["train_resumed"] = resumed
-    result["status"] = "trainer_ready"
-    emit(result)
-
-    if not resumed:
-        # Structure: converge FIRST, then time.  The timed window must sit in
-        # steady state (occupancy pruned, budget/ray ladders settled, adaptive
-        # ray count grown back) — that is the regime the nominal 150k rays/s
-        # reference figure describes, and it is also what the downstream style
-        # and render stages need: a crisp checkpoint.  The pre-prune transient
-        # is real one-time cost but not a throughput statement; convergence
-        # wall-clock is reported separately.  Deadline-guarded: the loop
-        # yields once CONVERGE_STOP of the budget is spent (the occupancy
-        # sync every 16 iters keeps dispatch skew bounded, so the clock check
-        # tracks real progress within a chunk).
-        target = warmup + converge
         t_conv = time.perf_counter()
+
+        # ---- Phase F: fog clearing (see FOG_PHASE_FLAGS) ----
+        # The MSE-built interior fog decays at a fixed per-iteration rate,
+        # so this phase runs the cheapest possible iteration until the
+        # occupancy grid has actually pruned (occ_frac + demand criterion),
+        # then hands a pruned checkpoint to the production regime.
+        fog_logs = work / "fog_logs"
+        shutil.rmtree(fog_logs, ignore_errors=True)
+        shutil.rmtree(logs, ignore_errors=True)
+        cfg = BaseConfig(log_dir=fog_logs, data_cfg=data_cfg)
+        fog_nargs = ["--num_iterations", "200"] + FOG_PHASE_FLAGS + extra
+        trainer_f = Trainer(cfg, list(fog_nargs), assume_yes=True)
+        result["status"] = "fog_phase_ready"
+        emit(result)
+
         chunk = 10
-        while converge_done < target:
-            n = min(chunk, target - converge_done)
+        occ_frac, demand, r = 1.0, 1e9, None
+        while fog_done < fog_cap:
+            n = min(chunk, fog_cap - fog_done)
+            t_chunk = time.perf_counter()
+            rays_mark = trainer_f.rays_trained
+            for _ in range(n):
+                trainer_f.run_iter()
+            _force(trainer_f.params["x_density_embedder"][0, 0])
+            dt_chunk = time.perf_counter() - t_chunk
+            fog_done += n
+            r = trainer_f.renderer
+            occ_frac = float(np.asarray(r.occ_state.bitfield.mean()))
+            demand = r._mean_count_host / max(1, r._last_num_rays)
+            # Provisional record: a kill during ANY later compile or chunk
+            # still leaves the freshest state on the record.  The fog-phase
+            # rays/s is NOT the headline number (coarse march, small
+            # budget); it rides separate fields.
+            result.update(
+                status="fog_phase",
+                fog_iters_done=fog_done,
+                fog_rays_per_sec=round(
+                    (trainer_f.rays_trained - rays_mark) / dt_chunk, 1
+                ),
+                fog_occ_frac=round(occ_frac, 4),
+                fog_demand_per_ray=round(demand, 1),
+            )
+            emit(result)
+            per_iter = dt_chunk / n
+            chunk = max(10, min(400, int(45.0 / max(per_iter, 1e-3))))
+            if occ_frac < fog_occ_stop and demand < fog_demand_stop:
+                fog_ok = True
+                break
+            if _elapsed() > 0.40 * DEADLINE_S:
+                break
+        trainer_f.save_ckpt()
+        fog_ckpt = sorted(fog_logs.glob("*.ckpt"))[-1]
+        result.update(fog_s=round(time.perf_counter() - t_conv, 1))
+        if not fog_ok:
+            print(
+                f"bench: fog phase stopped at {fog_done}/{fog_cap} iters "
+                f"without meeting the exit criterion (occ {occ_frac:.3f}, "
+                f"demand {demand:.0f}/ray)", flush=True,
+            )
+        # Release fog-phase device buffers (params + optimizer moments)
+        # before phase P allocates its own.
+        del trainer_f, r
+        import gc
+
+        gc.collect()
+
+        # ---- Phase P: production regime from the pruned checkpoint ----
+        cfg = BaseConfig(log_dir=logs, data_cfg=data_cfg, ckpt=fog_ckpt)
+        trainer = Trainer(cfg, list(nargs), assume_yes=True)
+        result["status"] = "polish_ready"
+        emit(result)
+        chunk = 10
+        while polish_done < polish:
+            n = min(chunk, polish - polish_done)
             t_chunk = time.perf_counter()
             rays_mark = trainer.rays_trained
             for _ in range(n):
                 trainer.run_iter()
             _force(trainer.params["x_density_embedder"][0, 0])
             dt_chunk = time.perf_counter() - t_chunk
-            converge_done += n
+            polish_done += n
             chunk_rays_s = (trainer.rays_trained - rays_mark) / dt_chunk
-            # Provisional record: a kill during ANY later compile or chunk
-            # still leaves the freshest throughput on the record.
             result.update(
                 value=round(chunk_rays_s, 1),
                 vs_baseline=round(chunk_rays_s / REFERENCE_RAYS_PER_SEC, 4),
-                status="converging",
-                train_converge_iters_done=converge_done,
-                train_converge_s=round(time.perf_counter() - t_conv, 1),
+                status="polish",
+                train_polish_iters_done=polish_done,
             )
             emit(result)
-            # Adapt the chunk so syncs cost ~nothing at speed but the emit
-            # cadence never exceeds ~60 s of silence while iterating.
             per_iter = dt_chunk / n
             chunk = max(5, min(200, int(45.0 / max(per_iter, 1e-3))))
             if _elapsed() > CONVERGE_STOP * DEADLINE_S:
                 break
         converge_s = time.perf_counter() - t_conv
-        if converge_done < target:
+        if polish_done < polish:
             print(
-                f"bench: convergence stopped early at {converge_done}/{target} "
+                f"bench: polish stopped early at {polish_done}/{polish} "
                 f"iters (deadline {DEADLINE_S:.0f}s)", flush=True,
             )
     else:
@@ -333,7 +411,7 @@ def bench_train(work: Path, data_cfg: Path, scene_info: dict, result: dict):
 
     trainer.save_ckpt()
     ckpt = sorted(logs.glob("*.ckpt"))[-1]
-    converged = resumed or converge_done >= warmup + converge
+    converged = resumed or (fog_ok and polish_done >= min(polish, 200))
     if not resumed and converged:
         # Persist under the regime key for future runs (the driver's run
         # after the builder's evidence run hits this path).  A PARTIAL
@@ -351,7 +429,8 @@ def bench_train(work: Path, data_cfg: Path, scene_info: dict, result: dict):
         value=round(rays_per_sec, 1),
         vs_baseline=round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 4),
         status="train_complete",
-        train_converge_iters_done=converge_done,
+        fog_iters_done=fog_done,
+        train_polish_iters_done=polish_done,
         train_converge_s=round(converge_s, 1),
         train_timed_iters=timed_done,
     )
