@@ -1428,6 +1428,12 @@ class Renderer:
             "budget_bucket": self._budget_bucket,
             "last_num_rays": self._last_num_rays,
             "window_bucket": self._window_bucket,
+            # The buckets are tuned per march regime: samples AND candidate
+            # windows per ray both scale ~linearly with max_steps (lattice
+            # resolution).  Recording it lets a loader under a different
+            # regime rescale instead of starting mis-sized (fog-phase 256 ->
+            # production 1024, recon 1024 -> style 512, ...).
+            "max_steps": self.settings.max_steps,
         }
 
     def load_state_dict_static(self, sd: Dict[str, object]) -> None:
@@ -1440,12 +1446,34 @@ class Renderer:
                     f'checkpoint mismatch for "{k}": {sd[k]} vs {getattr(self, k)}'
                 )
         if "budget_bucket" in sd:
+            # Cross-regime rescale: a bucket tuned under ckpt max_steps M0
+            # describes samples (and windows) per ray at lattice resolution
+            # M0; under the current regime both scale by M/M0 (see
+            # state_dict_static).  mean_count rides the occupancy state and
+            # is rescaled by the same factor so demand estimates agree.
+            ck_steps = int(sd.get("max_steps", self.settings.max_steps))
+            scale = self.settings.max_steps / max(1, ck_steps)
             self._budget_bucket = min(
-                int(sd["budget_bucket"]), self.settings.max_samples_per_ray
+                bucket_for(
+                    int(sd["budget_bucket"]) * scale,
+                    self.settings.max_samples_per_ray,
+                ),
+                self.settings.max_samples_per_ray,
             )
             self._last_num_rays = int(sd.get("last_num_rays", 1))
+            if scale != 1.0 and self._mean_count_host > 0:
+                self._mean_count_host = int(self._mean_count_host * scale)
+                self.occ_state = self.occ_state._replace(
+                    mean_count=(
+                        self.occ_state.mean_count.astype(jnp.float32) * scale
+                    ).astype(jnp.int32)
+                )
             if "window_bucket" in sd:
-                self._window_bucket = int(sd["window_bucket"])
+                want_w = int(round(int(sd["window_bucket"]) * scale))
+                self._window_bucket = next(
+                    (b for b in _WINDOW_BUCKETS if b >= want_w),
+                    max(_WINDOW_BUCKETS),
+                )
             # Seed the inference march bucket from the recon-tuned demand
             # (same scene, same occupancy -> same samples/ray scale).
             self._infer_spr_bucket = max(
