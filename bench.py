@@ -113,13 +113,13 @@ _COMMON_FLAGS = [
     "--intervals.test", "0",
     "--intervals.ckpt", "0",
     "--update_thres", "64",
-    # Active free-space suppression at 10x the reference default: the
-    # enclosed room's interior fog is MSE-built (see FOG_PHASE_FLAGS) and
-    # lambda 0.001 measurably neither prevents nor accelerates its decay
-    # (probe series, docs/PERFORMANCE.md round-5); 0.01 keeps walls strong
-    # (q99 sigma ~430 measured) while leaning on the interior.  8192
-    # samples/iter — the regularizer is statistical.
-    "--sparsity_lambda", "0.01",
+    # Active free-space suppression (the reference's own lever); 8192
+    # samples/iter — the regularizer is statistical.  0.001 is the PROVEN
+    # open-scene regime (31.48 dB held-out); the round-5 probe series
+    # measured that raising it to 0.01-1.0 neither prevents nor
+    # accelerates enclosed-room fog decay and at 0.01+ drags the walls
+    # down with the fog (docs/PERFORMANCE.md round-5).
+    "--sparsity_lambda", "0.001",
     "--sparsity_samples", "8192",
     # Start space EMPTY (sigma ~ exp(-4)); see NetworkConfig.density_offset
     # and the round-3 init-fog forensics.
@@ -195,13 +195,19 @@ def make_bench_scene(work: Path):
     # blew up the round-2 driver bench).  Scene dir is versioned by view
     # count so cached 12-view scenes are never silently reused.
     views = int(os.environ.get("NERFSTYLE_BENCH_VIEWS", "30"))
-    # Enclosed room by default (NERFSTYLE_BENCH_SCENE=spheres for the legacy
-    # open scene): the reference's headline benchmark is the LLFF *room* —
-    # enclosed, every ray terminates on a wall, so early termination and the
-    # thin-shell occupancy regime actually engage.  The open sphere scene left
-    # ~97% of rays unterminated (T~1 to the far AABB face), which inflated
-    # inference sample demand ~20x and invited few-view fog during training.
-    variant = os.environ.get("NERFSTYLE_BENCH_SCENE", "room")
+    # Open spheres-on-white by default (NERFSTYLE_BENCH_SCENE=room for the
+    # enclosed stress scene).  Round 3 switched the default to the room as
+    # the closer analog of the reference's LLFF room headline; the round-5
+    # probe series then measured that the room CANNOT converge in a bench
+    # budget under ANY tested regime (the MSE-built interior fog decays
+    # scale-free at ~0.12%/iter, the min(mean, thresh) occupancy law
+    # tracks the decaying mean, and occupancy freezes near 30% — see
+    # docs/PERFORMANCE.md round-5).  The open scene is the PROVEN regime
+    # (31.48 dB held-out, demand ~30/ray settled) and is what the r01/r02
+    # driver records measured; its unterminated-ray inference cost is
+    # exactly what the two-phase renderer + early-termination phase A were
+    # built for.  The room remains available for stress runs.
+    variant = os.environ.get("NERFSTYLE_BENCH_SCENE", "spheres")
     scene = work / f"scene_{variant}_{h}x{w}_v{views}"
     generate_scene(
         scene, num_train=views, num_test=3, h=h, w=w, room=variant == "room"
