@@ -109,6 +109,15 @@ class RenderSettings:
     # fewer, larger dispatches at identical per-dispatch memory.  Set equal
     # to infer_chunk to pin the legacy fixed-chunk behavior.
     infer_chunk_max: int = 65536
+    # TPU-specific: ceiling on the two-stage march's COARSE-probe stream per
+    # dispatch, chunk_rays * ceil(t_lattice / 8) probes.  The sample budget
+    # above bounds the compacted stream, but the coarse stage's [N, Tc]
+    # temporaries scale with rays x lattice length regardless of occupancy —
+    # a 65536-ray dispatch at 512 steps is a 8.5M-probe graph whose compile
+    # OOMed the remote TPU helper (r5 seeding run) while the known-good
+    # 8192 x 1024-step regime is ~2.1M.  3M keeps the auto-grown chunk
+    # within ~1.5x of the proven envelope at every march regime.
+    infer_probe_budget: int = 3_000_000
     # TPU-specific: two-phase inference (density branch on the whole marched
     # stream, color branch only on weight-significant samples) instead of the
     # incremental alive-ray loop.  See make_two_phase_renderer.
@@ -1180,7 +1189,18 @@ class Renderer:
         spr = max(1, self._infer_spr_bucket)
         wpr = max(1, self._infer_win_bucket)
         budget = self.settings.infer_sample_budget
-        cap = max(256, min(budget // spr, 4 * budget // wpr))
+        # Coarse-probe bound: the march's stage-1 stream is [chunk, Tc]
+        # whatever the buckets say (see infer_probe_budget).
+        t_lat = int(math.ceil(self.bound * self.settings.max_steps)) + 1
+        tc = -(-t_lat // 8)
+        cap = max(
+            256,
+            min(
+                budget // spr,
+                4 * budget // wpr,
+                self.settings.infer_probe_budget // tc,
+            ),
+        )
         hi = max(self.settings.infer_chunk, self.settings.infer_chunk_max)
         chunk = 256
         while chunk * 2 <= min(cap, hi):

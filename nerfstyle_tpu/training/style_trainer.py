@@ -482,10 +482,25 @@ class StyleTrainer(Trainer):
         # the epoch-1 cache builds sit on the style stage's critical path.
         # High-demand checkpoints shrink the chunk instead (compile-OOM
         # guard, exactly like inference).
+        import math
+
         spr = max(1, self.renderer._budget_bucket)
         wpr = max(1, self.renderer._window_bucket)
         budget = self.settings.infer_sample_budget
-        cap = max(256, min(budget // spr, 4 * budget // wpr))
+        # Coarse-probe bound, mirroring Renderer._infer_chunk_cap: the
+        # march's stage-1 [chunk, Tc] stream scales with rays x lattice
+        # length regardless of the buckets (the r5 seeding run's 65536-ray
+        # cache-build graph OOMed the remote compiler on exactly this term).
+        t_lat = int(math.ceil(self.renderer.bound * self.settings.max_steps)) + 1
+        tc = -(-t_lat // 8)
+        cap = max(
+            256,
+            min(
+                budget // spr,
+                4 * budget // wpr,
+                self.settings.infer_probe_budget // tc,
+            ),
+        )
         hi = max(self.settings.infer_chunk, self.settings.infer_chunk_max)
         chunk = 256
         while chunk * 2 <= min(cap, hi):

@@ -21,14 +21,16 @@ from nerfstyle_tpu.render.renderer import Renderer, RenderSettings
 
 
 def _stub(spr_bucket, chunk=8192, budget=4_194_304, win_bucket=None,
-          chunk_max=None):
+          chunk_max=None, max_steps=1024, probe_budget=3_000_000):
     settings = RenderSettings(
-        grid_size=16, max_steps=1024,
+        grid_size=16, max_steps=max_steps,
         infer_chunk=chunk, infer_sample_budget=budget,
         infer_chunk_max=chunk if chunk_max is None else chunk_max,
+        infer_probe_budget=probe_budget,
     )
     return SimpleNamespace(
         settings=settings,
+        bound=2.0,  # bench scene bound; Tc = ceil((bound*steps+1)/8)
         _infer_spr_bucket=spr_bucket,
         # Candidate-window bucket: defaults to the samples/ray bucket (its
         # lower bound in the real renderer, where windows >= kept samples).
@@ -59,13 +61,27 @@ class TestInferChunkCap:
 
     def test_low_demand_grows_chunk_past_infer_chunk(self):
         # Converged regime (64/ray): the chunk auto-grows past infer_chunk
-        # within the same sample budget, up to infer_chunk_max.
+        # within the sample budget — but only as far as the COARSE-PROBE
+        # budget allows (3M probes / 257 windows-per-ray at 1024 steps =>
+        # 8192): the stage-1 [N, Tc] stream scales with rays regardless of
+        # occupancy, and an unbounded 65536-ray graph OOMed the remote
+        # compiler (r5 seeding run).
         assert Renderer._infer_chunk_cap(
-            _stub(64, chunk=8192, chunk_max=65536)
-        ) == 65536
+            _stub(64, chunk=4096, chunk_max=65536)
+        ) == 8192
+        # A coarser march (fewer probes/ray) legitimately allows more rays.
         assert Renderer._infer_chunk_cap(
-            _stub(256, chunk=8192, chunk_max=65536)
+            _stub(64, chunk=4096, chunk_max=65536, max_steps=256)
+        ) == 32768
+        assert Renderer._infer_chunk_cap(
+            _stub(256, chunk=8192, chunk_max=65536, max_steps=256)
         ) == 16384
+
+    def test_probe_budget_bounds_chunk(self):
+        # Raising the probe budget is the explicit opt-in to bigger graphs.
+        assert Renderer._infer_chunk_cap(
+            _stub(64, chunk=4096, chunk_max=65536, probe_budget=20_000_000)
+        ) == 65536
 
     def test_window_bucket_bounds_chunk_independently(self):
         # Tiny kept-samples bucket but a huge candidate window: the window
