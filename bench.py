@@ -646,6 +646,20 @@ def bench_render(
                 "NERFSTYLE_EARLY_K1", str(RenderSettings.infer_early_k1)
             )
         ),
+        # Two-phase color-compaction threshold (per-sample contribution
+        # bound): the style stage's frozen-geometry cache uses 1e-4 and
+        # keeps ~3-4 samples/ray on this scene where the render default
+        # 1e-5 keeps ~39 — sweepable for the quality/speed record.
+        infer_sig_eps=float(
+            os.environ.get(
+                "NERFSTYLE_INFER_SIG_EPS", str(RenderSettings.infer_sig_eps)
+            )
+        ),
+        infer_probe_budget=int(
+            os.environ.get(
+                "NERFSTYLE_PROBE_BUDGET", str(RenderSettings.infer_probe_budget)
+            )
+        ),
     )
     renderer = Renderer(
         field_spec, train_set.bbox, settings, intr, float(dataset_cfg.bound),
